@@ -1,38 +1,625 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship link-graph pipeline on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 +
+                  training-data-pipeline additions).
+``oracle_sql()``— DuckDB-equivalent ANSI SQL per query (omitted only for
+                  genuinely non-SQL-expressible iterative ops, which the
+                  driver then row-count-checks; those are additionally
+                  golden-tested in tests/).
+
+Graph inputs are derived deterministically from the driver tables so both
+engines see identical edges:
+  * CP — co-purchase graph over parts: parts sharing an order, canonical
+    (src < dst, distinct).  Dense: ~2000 vertices / ~116k edges at sf0.01.
+  * EV — event-succession forest: consecutive events of the same
+    (user_id, day) ordered by (ts, event_id).  Sparse path components —
+    the connected-components / label-propagation fixture.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("src"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def event_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("day"), "ts"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    chain = ev.select(
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+    )
+    return chain.filter(F.col("dst").isNotNull())
+
+
+_CP_SQL = """
+edges AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                  greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY src)
+"""
+
+_EV_SQL = """
+ev AS (
+  SELECT event_id, user_id, date_trunc('day', ts) AS day, ts FROM events
+),
+chain AS (
+  SELECT event_id AS src,
+         lead(event_id) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS dst
+  FROM ev
+),
+edges AS (SELECT src, dst FROM chain WHERE dst IS NOT NULL),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM sym)
+"""
+
+_TRI_SQL = """
+oriented AS (
+  SELECT CASE WHEN (da.degree, e.src) < (db.degree, e.dst) THEN e.src ELSE e.dst END AS a,
+         CASE WHEN (da.degree, e.src) < (db.degree, e.dst) THEN e.dst ELSE e.src END AS b
+  FROM edges e JOIN deg da ON e.src = da.v JOIN deg db ON e.dst = db.v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN edges c ON c.src = least(e1.b, e2.b) AND c.dst = greatest(e1.b, e2.b)
+),
+tri_per_v AS (
+  SELECT v, count(*) AS triangles FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: co-purchase link graph on sf0.001 -> per-vertex summary
+    (degree, component, 5-iteration PageRank), top 100 by pagerank."""
+    from dachshund_spark.operators.builders import symmetrized
+    from dachshund_spark.operators.components import connected_components
+    from dachshund_spark.operators.pagerank import pagerank
+    from dachshund_spark.operators.builders import degrees
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = copurchase_edges(spark, sf_dir).persist()
+    edges.count()
+    deg = degrees(edges)
+    cc = connected_components(edges)
+    pr = pagerank(symmetrized(edges), tol=0.0, max_iter=5)
+    out = (
+        deg.join(cc, "v")
+        .join(pr, "v")
+        .select("v", "degree", "component", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("v"))
+        .limit(100)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_degree(spark, sf_dir):
+    from dachshund_spark.operators.builders import degrees
+
+    return degrees(copurchase_edges(spark, sf_dir))
+
+
+def _q_degree_distribution(spark, sf_dir):
+    from dachshund_spark.operators.builders import degrees
+
+    return (
+        degrees(copurchase_edges(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def _q_top_degree(spark, sf_dir):
+    from dachshund_spark.operators.builders import degrees
+
+    d = degrees(copurchase_edges(spark, sf_dir))
+    w = Window.orderBy(F.desc("degree"), F.asc("v"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("v", "degree", "rank")
+    )
+
+
+def _q_triangles(spark, sf_dir):
+    from dachshund_spark.operators.triangles import triangle_counts
+
+    return triangle_counts(copurchase_edges(spark, sf_dir))
+
+
+def _q_transitivity(spark, sf_dir):
+    from dachshund_spark.operators.triangles import global_stats
+
+    s = global_stats(copurchase_edges(spark, sf_dir))
+    return spark.createDataFrame(
+        [
+            (
+                s["vertices"],
+                s["edges"],
+                s["triangles"],
+                round(s["transitivity"], 6),
+                round(s["avg_clustering"], 6),
+            )
+        ],
+        "n_vertices long, n_edges long, n_triangles long, transitivity double,"
+        " avg_clustering double",
+    )
+
+
+def _q_clustering(spark, sf_dir):
+    from dachshund_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(copurchase_edges(spark, sf_dir)).select(
+        "v", "degree", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def _q_cc_paths(spark, sf_dir):
+    from dachshund_spark.operators.components import connected_components
+
+    return connected_components(event_chain_edges(spark, sf_dir), max_iter=50)
+
+
+def _q_cc_giant(spark, sf_dir):
+    from dachshund_spark.operators.components import connected_components
+
+    return connected_components(copurchase_edges(spark, sf_dir), max_iter=50)
+
+
+def _q_pagerank(spark, sf_dir):
+    from dachshund_spark.operators.builders import symmetrized
+    from dachshund_spark.operators.pagerank import pagerank
+
+    pr = pagerank(
+        symmetrized(copurchase_edges(spark, sf_dir)), tol=0.0, max_iter=5, impl="sql"
+    )
+    return pr.select("v", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _q_pagerank_csr(spark, sf_dir):
+    from dachshund_spark.operators.builders import symmetrized
+    from dachshund_spark.operators.pagerank import pagerank
+
+    pr = pagerank(
+        symmetrized(copurchase_edges(spark, sf_dir)), tol=0.0, max_iter=5, impl="csr"
+    )
+    return pr.select("v", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _q_label_propagation(spark, sf_dir):
+    from dachshund_spark.operators.label_propagation import label_propagation
+
+    return label_propagation(event_chain_edges(spark, sf_dir), max_iter=2)
+
+
+def _q_coreness(spark, sf_dir):
+    # iterative peeling to fixpoint — not SQL-expressible; rows-only check
+    # (golden-tested against the kernel oracle in tests/)
+    from dachshund_spark.operators.coreness import coreness
+
+    return coreness(copurchase_edges(spark, sf_dir))
+
+
+def _q_bfs(spark, sf_dir):
+    from dachshund_spark.operators.builders import canonical_undirected
+    from dachshund_spark.operators.paths import undirected_bfs_distances
+
+    edges = canonical_undirected(copurchase_edges(spark, sf_dir))
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return undirected_bfs_distances(edges, source)
+
+
+def _q_token_counts(spark, sf_dir):
+    from dachshund_spark.functions.textops import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from dachshund_spark.functions.textops import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from dachshund_spark.functions.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_exact_dups(spark, sf_dir):
+    from dachshund_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from dachshund_spark.functions.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=4
+    )
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from dachshund_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.4, block_col="lang"
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from dachshund_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10)
+
+
+def _q_simhash(spark, sf_dir):
+    # pandas-UDF bit arithmetic — no SQL mirror; rows-only check
+    from dachshund_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    from dachshund_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+def _q_user_activity(spark, sf_dir):
+    from dachshund_spark.streaming.events import user_activity
+
+    return user_activity(_t(spark, sf_dir, "events"))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_nation_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_degree": _q_degree,
+        "graph_degree_distribution": _q_degree_distribution,
+        "graph_top_degree": _q_top_degree,
+        "graph_triangle_count_per_vertex": _q_triangles,
+        "graph_global_stats": _q_transitivity,
+        "graph_clustering_coefficient": _q_clustering,
+        "graph_connected_components_paths": _q_cc_paths,
+        "graph_connected_components_giant": _q_cc_giant,
+        "graph_pagerank_5iter": _q_pagerank,
+        "graph_pagerank_csr_5iter": _q_pagerank_csr,
+        "graph_label_propagation_2iter": _q_label_propagation,
+        "graph_coreness": _q_coreness,
+        "graph_bfs_from_min": _q_bfs,
+        "doc_token_counts": _q_token_counts,
+        "doc_quality_scores": _q_quality,
+        "doc_lang_id": _q_lang_id,
+        "doc_exact_duplicates": _q_exact_dups,
+        "doc_minhash_lsh_pairs": _q_minhash_pairs,
+        "doc_ngram_jaccard_pairs": _q_jaccard_pairs,
+        "doc_simhash": _q_simhash,
+        "emb_cosine_topk": _q_cosine_topk,
+        "events_hourly_counts": _q_events_hourly,
+        "events_user_activity": _q_user_activity,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_nation_orders": _q_nation_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS_SQL = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b",
+    "fr": r"\b(le|la|les|et|est|que|pour|dans|une)\b",
+    "es": r"\b(el|la|los|las|y|es|que|para|con)\b",
+}
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLE_SQL = f"""
+docs_n AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, string_split(norm, ' ') AS tokens FROM docs_n
+),
+sh AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+    CASE WHEN len(tokens) >= 3 THEN
+      list_transform(range(1, len(tokens) - 1),
+                     j -> array_to_string(list_slice(tokens, j, j + 2), ' '))
+    ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+  FROM tok
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+    sql["graph_degree"] = f"WITH {_CP_SQL} SELECT v, degree FROM deg"
+    sql["graph_degree_distribution"] = (
+        f"WITH {_CP_SQL} SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree"
+    )
+    sql["graph_top_degree"] = f"""
+WITH {_CP_SQL}
+SELECT v, degree, rank FROM (
+  SELECT v, degree, row_number() OVER (ORDER BY degree DESC, v ASC) AS rank FROM deg
+) WHERE rank <= 20"""
+    sql["graph_triangle_count_per_vertex"] = f"""
+WITH {_CP_SQL}, {_TRI_SQL}
+SELECT verts.v, coalesce(t.triangles, 0) AS triangles
+FROM verts LEFT JOIN tri_per_v t ON verts.v = t.v"""
+    sql["graph_global_stats"] = f"""
+WITH {_CP_SQL}, {_TRI_SQL}
+SELECT (SELECT count(*) FROM verts) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM tri) AS n_triangles,
+       round(3.0 * (SELECT count(*) FROM tri)
+             / (SELECT sum(degree * (degree - 1) / 2) FROM deg), 6) AS transitivity,
+       (SELECT round(avg(2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))), 6)
+        FROM deg d LEFT JOIN tri_per_v t ON d.v = t.v WHERE d.degree > 1) AS avg_clustering"""
+    sql["graph_clustering_coefficient"] = f"""
+WITH {_CP_SQL}, {_TRI_SQL}
+SELECT d.v, d.degree,
+       CASE WHEN d.degree > 1
+            THEN round(2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+       END AS coefficient
+FROM deg d LEFT JOIN tri_per_v t ON d.v = t.v"""
+    sql["graph_connected_components_paths"] = f"""
+WITH {_EV_SQL}
+SELECT e.event_id AS v, m.comp AS component
+FROM ev e JOIN (
+  SELECT user_id, day, min(event_id) AS comp, count(*) AS c
+  FROM ev GROUP BY user_id, day
+) m ON e.user_id = m.user_id AND e.day = m.day
+WHERE m.c >= 2"""
+    # giant component: BFS reachability from the global min vertex proves
+    # connectivity; every reached vertex has component = min id.  If the
+    # graph were not connected the row counts would mismatch loudly.
+    sql["graph_connected_components_giant"] = f"""
+WITH RECURSIVE {_CP_SQL},
+bfs(v) AS (
+  SELECT (SELECT min(src) FROM edges)
+  UNION
+  SELECT sym.dst FROM bfs JOIN sym ON sym.src = bfs.v
+)
+SELECT v, (SELECT min(src) FROM edges) AS component FROM bfs"""
+    pr_iter = """
+pr{k} AS (
+  SELECT verts.v, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.m, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT sym.dst AS v, sum(pr{j}.r / outd.d) AS m
+    FROM sym JOIN pr{j} ON sym.src = pr{j}.v JOIN outd ON sym.src = outd.src
+    GROUP BY sym.dst
+  ) s ON verts.v = s.v
+)"""
+    pr_sql = f"""
+WITH {_CP_SQL},
+n AS (SELECT count(*) AS c FROM verts),
+outd AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+pr0 AS (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM verts),
+{",".join(pr_iter.format(k=k, j=k - 1) for k in range(1, 6))}
+SELECT v, round(r, 6) AS pagerank FROM pr5"""
+    sql["graph_pagerank_5iter"] = pr_sql
+    sql["graph_pagerank_csr_5iter"] = pr_sql
+    lp_iter = """
+l{k} AS (
+  SELECT v, label FROM (
+    SELECT c.v, c.label,
+           row_number() OVER (PARTITION BY c.v ORDER BY c.cnt DESC, c.label ASC) AS rn
+    FROM (
+      SELECT sym.dst AS v, l{j}.label, count(*) AS cnt
+      FROM sym JOIN l{j} ON sym.src = l{j}.v
+      GROUP BY sym.dst, l{j}.label
+    ) c
+  ) WHERE rn = 1
+)"""
+    sql["graph_label_propagation_2iter"] = f"""
+WITH {_EV_SQL},
+l0 AS (SELECT v, v AS label FROM verts),
+{",".join(lp_iter.format(k=k, j=k - 1) for k in range(1, 3))}
+SELECT v, label FROM l2"""
+    sql["graph_bfs_from_min"] = f"""
+WITH RECURSIVE {_CP_SQL},
+bfs(v, dist) AS (
+  SELECT (SELECT min(src) FROM edges), 0
+  UNION
+  SELECT sym.dst, bfs.dist + 1 FROM bfs JOIN sym ON sym.src = bfs.v
+  WHERE bfs.dist < 8
+)
+SELECT v, min(dist) AS dist FROM bfs GROUP BY v"""
+    sql["doc_token_counts"] = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents"""
+    sql["doc_quality_scores"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       n_tokens,
+       round(len(regexp_extract_all(text, '[.!?,;:]'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is|that|for|with)\\b'))
+             / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / greatest(n_tokens, 1), 6) AS mean_token_len
+FROM base"""
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lang}"
+        for lang, pat in _LANG_MARKERS_SQL.items()
+    )
+    sql["doc_lang_id"] = f"""
+WITH scored AS (SELECT doc_id, {lang_counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       greatest(c_en, c_de, c_fr, c_es) AS marker_count
+FROM scored"""
+    sql["doc_exact_duplicates"] = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+    minhash_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(12)
+    )
+    band_cols = ", ".join(
+        f"md5(concat_ws('|', h{b * 3}, h{b * 3 + 1}, h{b * 3 + 2})) AS bkt{b}"
+        for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bkt{b} AS bucket FROM sig" for b in range(4)
+    )
+    sql["doc_minhash_lsh_pairs"] = f"""
+WITH {_SHINGLE_SQL},
+mh AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {band_cols} FROM mh),
+buckets AS ({band_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id"""
+    sql["doc_ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.4"""
+    sql["emb_cosine_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q_emb, emb), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q_emb, x -> x * x)))
+            * sqrt(list_sum(list_transform(emb, x -> x * x)))) AS cos_raw
+  FROM q, e WHERE query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+    sql["events_hourly_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2"""
+    sql["events_user_activity"] = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
+       count(DISTINCT event_type) AS n_event_types
+FROM events GROUP BY user_id"""
+    sql["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+    sql["tpch_nation_orders"] = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+    return sql

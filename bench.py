@@ -1,0 +1,224 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline workload =
+  * the north-star pipeline: synthetic Common-Crawl-style pages ->
+    Arrow-UDF extraction -> (src,dst) edge table -> PageRank supersteps
+    (primary metric: edges/sec/core per superstep), connected components,
+    label propagation;
+  * co-purchase graph analytics at the SF dir (triangles/transitivity);
+  * representative SQL aggregations.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``python bench.py --scaling``, which re-runs the PageRank job in fresh
+JVMs at local[8] and local[32] on identical input and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_count(sf: float) -> int:
+    return max(2000, int(2_000_000 * sf))
+
+
+def run_bench(sf_dir: str, cpus: int, pagerank_iters: int = 10) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.builders import symmetrized
+    from dachshund_spark.operators.components import connected_components
+    from dachshund_spark.operators.label_propagation import label_propagation
+    from dachshund_spark.operators.pagerank import pagerank
+    from dachshund_spark.operators.triangles import global_stats
+    from dachshund_spark.session import get_spark
+    from dachshund_spark.sources.pages import edges_from_extracted, synthesize_pages
+
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(
+        app_name="dachshund_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- north-star pipeline: pages -> extraction -> edges ---
+    t0 = time.time()
+    n_pages = _pages_count(sf)
+    pages = synthesize_pages(spark, n_pages, n_sites=997, n_hubs=64, seed=42)
+    edges = edges_from_extracted(extract(pages)).persist()
+    n_edges = edges.count()
+    queries["extract_and_materialize_edges"] = round(time.time() - t0, 3)
+    extras["n_pages"] = n_pages
+    extras["n_edges"] = n_edges
+
+    t0 = time.time()
+    pr, res = pagerank(
+        edges, tol=0.0, max_iter=pagerank_iters, impl="sql", include_metrics=True
+    )
+    pr_rows = pr.count()
+    queries[f"pagerank_{pagerank_iters}iter"] = round(time.time() - t0, 3)
+    superstep_secs = [m.seconds for m in res.metrics]
+    per_superstep = sum(superstep_secs) / len(superstep_secs)
+    extras["pagerank"] = {
+        "vertices": pr_rows,
+        "supersteps": len(superstep_secs),
+        "sec_per_superstep": round(per_superstep, 4),
+        "edges_per_sec_per_superstep": round(n_edges / per_superstep, 1),
+        "edges_per_sec_per_core_per_superstep": round(
+            n_edges / per_superstep / cpus, 1
+        ),
+        "cores": cpus,
+    }
+
+    t0 = time.time()
+    pr_csr, _ = pagerank(
+        edges, tol=0.0, max_iter=pagerank_iters, impl="csr", include_metrics=True
+    )
+    pr_csr.count()
+    queries[f"pagerank_csr_{pagerank_iters}iter"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cc = connected_components(edges, max_iter=50)
+    n_comp = cc.select("component").distinct().count()
+    queries["connected_components"] = round(time.time() - t0, 3)
+    extras["n_components"] = n_comp
+
+    t0 = time.time()
+    lp = label_propagation(edges, max_iter=5)
+    lp.count()
+    queries["label_propagation_5iter"] = round(time.time() - t0, 3)
+    edges.unpersist()
+
+    # --- co-purchase analytics at the SF dir ---
+    t0 = time.time()
+    cp = entrymod.copurchase_edges(spark, sf_dir).persist()
+    stats = global_stats(cp)
+    queries["copurchase_triangle_stats"] = round(time.time() - t0, 3)
+    extras["copurchase"] = {
+        "edges": stats["edges"],
+        "triangles": stats["triangles"],
+        "transitivity": round(stats["transitivity"], 6),
+    }
+    cp.unpersist()
+
+    # --- SQL aggregations ---
+    for name in ("tpch_q1_pricing_summary", "events_user_activity", "doc_quality_scores"):
+        t0 = time.time()
+        entrymod.queries()[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    return out
+
+
+def _scaling_child(sf_dir: str, cpus: int) -> dict:
+    """Run the PageRank pipeline alone in a fresh JVM (separate process) and
+    return its metrics — identical input and partitioning at both sizes."""
+    code = (
+        "import json, bench; "
+        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=10); "
+        "print('SCALING_JSON ' + json.dumps(r))"
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALING_JSON "):
+            return json.loads(line[len("SCALING_JSON "):])
+    raise RuntimeError(
+        f"scaling child (cpus={cpus}) produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def run_scaling(sf_dir: str, small: int = 8, big: int = 32) -> str:
+    """north_rule scaling evidence: same job, same input, local[small] vs
+    local[big]; efficiency = per-core throughput ratio."""
+    r_small = _scaling_child(sf_dir, small)
+    r_big = _scaling_child(sf_dir, big)
+    eps_small = r_small["pagerank"]["edges_per_sec_per_superstep"]
+    eps_big = r_big["pagerank"]["edges_per_sec_per_superstep"]
+    speedup = eps_big / eps_small
+    efficiency = speedup / (big / small)
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput & scaling",
+        "",
+        f"Input: deterministic synthetic pages table ({r_small['n_pages']} pages, "
+        f"{r_small['n_edges']} edges, power-law hubs), seed=42; sf dir `{sf_dir}`.",
+        "Job: PageRank, 10 supersteps, identical code/partitioning at both sizes;",
+        "fresh JVM per size (no warm-cache sharing).",
+        "",
+        "| parallelism | sec/superstep | edges/sec/superstep | edges/sec/core |",
+        "|---|---|---|---|",
+        f"| local[{small}] | {r_small['pagerank']['sec_per_superstep']} | "
+        f"{eps_small} | {r_small['pagerank']['edges_per_sec_per_core_per_superstep']} |",
+        f"| local[{big}] | {r_big['pagerank']['sec_per_superstep']} | "
+        f"{eps_big} | {r_big['pagerank']['edges_per_sec_per_core_per_superstep']} |",
+        "",
+        f"Throughput speedup {small}→{big} cores ({big // small}×): **{speedup:.2f}×**",
+        "",
+        f"Scaling efficiency (speedup / {big // small}) = **{efficiency:.3f}** "
+        f"(north-rule target ≥ 0.8; sandbox proxy for N vs 4N executors per task instructions).",
+        "",
+        "Full per-size metrics:",
+        "```json",
+        json.dumps({"small": r_small, "big": r_big}, indent=2),
+        "```",
+    ]
+    return "\n".join(lines)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        report = run_scaling(sf_dir)
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            f.write(report + "\n")
+        print(f"wrote {out_path}")
+        return
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k neighbors, all JVM-side
+  (``zip_with`` + ``aggregate`` dot products inside whole-stage codegen);
+  the baseline and the verifier for the approximate path.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH: a deterministic
+  pseudo-random projection matrix (seeded, recomputed identically on every
+  executor) maps each embedding to a bucket id via an Arrow-batched pandas
+  UDF (one numpy matmul per batch); candidates = same-bucket vectors
+  (multi-probe over ``n_tables`` independent tables), then exact cosine
+  re-rank.  This is the 100 TB path: the cross join collapses to a
+  bucket-key equi-join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    embeddings: (vec_id, embedding); queries: (vec_id, embedding).
+    Returns (query_id, neighbor_id, cosine, rank) excluding self-matches;
+    ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(
+                F.col("q_emb").cast("array<double>"),
+                F.col("c_emb").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _bucket_udf(dim: int, n_planes: int, seed: int, table: int):
+    @pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rng = np.random.default_rng(seed * 1_000_003 + table)
+        planes = rng.standard_normal((dim, n_planes))
+        mat = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over
+    ``n_tables`` hyperplane tables, exact cosine re-rank.  Deterministic
+    given the seed."""
+    dim = len(embeddings.select("embedding").first()[0])
+    cand_frames = []
+    for t in range(n_tables):
+        udf = _bucket_udf(dim, n_planes, seed, t)
+        qb = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            udf(F.col("embedding")).alias("bucket"),
+        )
+        cb = embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            udf(F.col("embedding")).alias("bucket"),
+        )
+        cand_frames.append(
+            qb.join(cb, "bucket").select(
+                "query_id", "neighbor_id", "q_emb", "c_emb"
+            )
+        )
+    cands = cand_frames[0]
+    for f in cand_frames[1:]:
+        cands = cands.union(f)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(
+            F.col("q_emb").cast("array<double>"),
+            F.col("c_emb").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,110 @@
+"""Connected components via hash-min label propagation (north_rule op).
+
+Semantics match the reference's BFS flood fill
+(connected_components.rs:26-98) up to component naming: the reference
+assigns dense indices in discovery order; we assign each component its
+minimum vertex id — a canonical, order-free label that is stable across
+any execution order (SURVEY.md §2.4).  ``to_discovery_order`` remaps to
+the reference's numbering for parity checks.
+
+Scale design:
+* frontier-based: after the first superstep only vertices whose label
+  changed propagate, so per-iteration work decays geometrically on
+  typical web graphs,
+* the adjacency is symmetrized once, repartitioned on ``src`` and
+  persisted — every superstep joins the (small, shrinking) frontier
+  against the same co-partitioned edge table,
+* iteration count is bounded by the graph diameter (hash-min propagates
+  the min id one hop per superstep); lineage is cut by the superstep
+  runtime every few iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.superstep import CheckpointManager, SuperstepResult, iterate
+from .builders import symmetrized, vertices
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpointer: CheckpointManager | None = None,
+    include_metrics: bool = False,
+):
+    """Returns DataFrame[v: long, component: long] where component is the
+    min vertex id of the component (isolated vertices in the edge table do
+    not occur — every vertex has at least one edge by construction)."""
+    spark = edges.sparkSession
+    adj = symmetrized(edges).repartition("src").persist()
+    adj.count()
+
+    labels = vertices(edges).select("v", F.col("v").alias("component"))
+    # frontier flag: everything active initially
+    state0 = labels.withColumn("active", F.lit(True))
+
+    def step(state: DataFrame, i: int):
+        frontier = state.filter("active").select("v", "component")
+        msgs = (
+            adj.join(frontier, adj.src == frontier.v)
+            .select(F.col("dst").alias("v"), "component")
+        )
+        best = msgs.groupBy("v").agg(F.min("component").alias("cand"))
+        new_state = (
+            state.join(best, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("cand"), F.col("component"))
+                    < F.col("component")
+                ).alias("active"),
+            )
+        )
+        changed = new_state.filter("active").count()
+        return new_state, float(changed)
+
+    result = iterate(
+        state0,
+        step,
+        max_iter=max_iter,
+        tol=0.0,
+        checkpointer=checkpointer,
+    )
+    out = result.state.select("v", "component")
+    adj.unpersist()
+    if include_metrics:
+        return out, result
+    return out
+
+
+def to_discovery_order(components: DataFrame) -> DataFrame:
+    """Remap min-id component labels to dense indices ordered by the
+    component's minimum vertex id — the reference's discovery order (its
+    BFS pops the smallest remaining id first, connected_components.rs:33-41).
+    Driver-side window over the (small) distinct label set."""
+    distinct = components.select("component").distinct()
+    ranked = distinct.withColumn(
+        "component_idx",
+        F.row_number().over(Window.orderBy("component")) - 1,
+    )
+    return components.join(F.broadcast(ranked), "component").select(
+        "v", "component", "component_idx"
+    )
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    return components.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def is_connected(components: DataFrame) -> bool:
+    """countDistinct(component) == 1; empty graph raises like the reference
+    (connectivity.rs:48-63)."""
+    n = components.select("component").distinct().limit(2).count()
+    if n == 0:
+        raise ValueError("Graph is empty")
+    return n == 1

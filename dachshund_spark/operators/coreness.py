@@ -1,0 +1,169 @@
+"""Distributed degeneracy family: k-core membership, coreness values,
+k-trusses — round-based peeling loops (anti-join peel + degree re-agg).
+
+Semantics match the *correct* peeling the reference's tests pin down
+(tests/simple_graph.rs:315-344, tests/karate_club.rs:460-486); the
+reference's own `_get_k_cores` carries an acknowledged bug
+(coreness.rs:29-58).  The per-graph exact path lives in
+``operators.pergraph``; these operators are the single-giant-graph scale
+path.
+
+Scale notes: every peel round is one degree aggregation + one anti-join;
+rounds for k-core = peel depth (small); rounds for full coreness =
+number of distinct shell levels × cascade depth.  Edges stay
+repartitioned on src across rounds; lineage is cut by re-persisting the
+shrinking edge set each round (it shrinks geometrically in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .builders import canonical_undirected, symmetrized, vertices
+from .components import connected_components
+
+
+def _sym_degrees(sym: DataFrame) -> DataFrame:
+    return sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))
+
+
+def k_core_vertices(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
+    """Vertices of the k-core: iteratively delete degree < k.
+    Returns DataFrame[v]."""
+    sym = symmetrized(edges).persist()
+    sym.count()
+    for _ in range(max_rounds):
+        deg = _sym_degrees(sym)
+        bad = deg.filter(F.col("degree") < k).select("v").persist()
+        if bad.count() == 0:
+            bad.unpersist()
+            break
+        nxt = (
+            sym.join(bad.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(bad.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            # localCheckpoint truncates lineage: each round references the
+            # previous edge set three times, so without a cut the logical
+            # plan grows ~3x per round
+            .localCheckpoint(eager=True)
+        )
+        sym.unpersist()
+        bad.unpersist()
+        sym = nxt
+    out = sym.select(F.col("src").alias("v")).distinct()
+    return out
+
+
+def k_core_components(edges: DataFrame, k: int) -> DataFrame:
+    """Connected components of the k-core — DataFrame[v, component]
+    (≡ reference get_k_cores output granularity, coreness.rs:55-58)."""
+    core_verts = k_core_vertices(edges, k)
+    canon = canonical_undirected(edges)
+    core_edges = (
+        canon.join(core_verts.withColumnRenamed("v", "src"), "src")
+        .join(core_verts.withColumnRenamed("v", "dst"), "dst")
+        .select("src", "dst")
+    )
+    return connected_components(core_edges)
+
+
+def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
+    """Exact core number per vertex via level-synchronized peeling:
+    at level k, cascade-remove everything with remaining degree <= k;
+    removed vertices get coreness k.  Returns DataFrame[v, coreness].
+
+    Equivalent to Batagelj–Zaveršnik (coreness.rs:106-161) with the
+    reference's decrement quirks corrected (matches its tests' expected
+    values including the 'breaks the original algorithm' graph).
+    """
+    spark = edges.sparkSession
+    sym = symmetrized(edges).persist()
+    sym.count()
+    results = []
+    k = 0
+    for _ in range(max_rounds):
+        deg = _sym_degrees(sym).persist()
+        total = deg.count()
+        if total == 0:
+            deg.unpersist()
+            break
+        min_deg = deg.agg(F.min("degree")).collect()[0][0]
+        k = max(k, min_deg)
+        peel = deg.filter(F.col("degree") <= k).select("v").persist()
+        n_peel = peel.count()
+        deg.unpersist()
+        if n_peel == 0:
+            peel.unpersist()
+            continue
+        results.append(
+            peel.select("v", F.lit(k).alias("coreness")).localCheckpoint(eager=True)
+        )
+        nxt = (
+            sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            # lineage cut: see k_core_vertices
+            .localCheckpoint(eager=True)
+        )
+        sym.unpersist()
+        peel.unpersist()
+        sym = nxt
+    sym.unpersist()
+    if not results:
+        return spark.createDataFrame([], "v long, coreness int")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
+def k_truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """Edges of the k-truss: iteratively delete canonical edges supported by
+    fewer than k-2 triangles.  Returns DataFrame[src, dst].
+
+    Distributed equivalent of coreness.rs:183-264 at fixpoint (the
+    reference's in-sweep mutation order only affects intermediate sweeps,
+    not the fixpoint, which is the canonical k-truss).
+    Prunes to the (k-1)-core first, as the reference does (:255-264).
+    """
+    core_verts = k_core_vertices(edges, k - 1)
+    canon = (
+        canonical_undirected(edges)
+        .join(core_verts.withColumnRenamed("v", "src"), "src")
+        .join(core_verts.withColumnRenamed("v", "dst"), "dst")
+        .select("src", "dst")
+        .persist()
+    )
+    canon.count()
+    for _ in range(max_rounds):
+        sym = canon.union(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # wedges through each vertex a: (a,u),(a,w) u<w; support(u,w) += 1 if (u,w) edge
+        e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("u"))
+        e2 = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+        wedges = e1.join(e2, "a").filter(F.col("u") < F.col("w"))
+        support = (
+            wedges.join(
+                canon.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+                ["u", "w"],
+            )
+            .groupBy("u", "w")
+            .agg(F.count("*").alias("support"))
+        )
+        keep = support.filter(F.col("support") >= k - 2).select(
+            F.col("u").alias("src"), F.col("w").alias("dst")
+        )
+        n_old = canon.count()
+        nxt = canon.join(keep, ["src", "dst"]).localCheckpoint(eager=True)
+        n_new = nxt.count()
+        canon.unpersist()
+        canon = nxt
+        if n_new == n_old:
+            break
+    return canon
+
+
+def k_truss_components(edges: DataFrame, k: int) -> DataFrame:
+    """DataFrame[v, component] over the k-truss subgraph."""
+    truss = k_truss_edges(edges, k)
+    return connected_components(truss)

@@ -1,0 +1,70 @@
+"""Single-source shortest paths (unit weights) as BFS-frontier supersteps,
+plus the shortest-path-DAG predecessor view.
+
+Matches the reference's Dijkstra-on-unit-weights semantics
+(shortest_paths.rs:19-77): distance = hop count; predecessors = every
+in-neighbor on a shortest path; the source lists itself as a parent.
+Golden values: tests/karate_club.rs:291-339.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .builders import symmetrized, vertices
+
+
+def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> DataFrame:
+    """DataFrame[v, dist] for vertices reachable from source (directed
+    edges as given; symmetrize upstream for undirected semantics)."""
+    spark = edges.sparkSession
+    adj = edges.select("src", "dst").repartition("src").persist()
+    adj.count()
+    dist = spark.createDataFrame([(int(source), 0)], "v long, dist int").persist()
+    frontier = dist
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            adj.join(frontier, adj.src == frontier.v)
+            .select(F.col("dst").alias("v"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.union(nxt).persist()
+        new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt
+    adj.unpersist()
+    return dist
+
+
+def shortest_path_dag(edges: DataFrame, source: int) -> DataFrame:
+    """DataFrame[v, parent] — all shortest-path predecessors: edges (u,v)
+    with dist(u)+1 == dist(v), plus (source, source) per the reference's
+    convention (shortest_paths.rs:652)."""
+    spark = edges.sparkSession
+    sym = symmetrized(edges)
+    dist = bfs_distances(sym, source)
+    du = dist.select(F.col("v").alias("src"), F.col("dist").alias("d_src"))
+    dv = dist.select(F.col("v").alias("dst"), F.col("dist").alias("d_dst"))
+    dag = (
+        sym.join(du, "src")
+        .join(dv, "dst")
+        .filter(F.col("d_src") + 1 == F.col("d_dst"))
+        .select(F.col("dst").alias("v"), F.col("src").alias("parent"))
+    )
+    self_parent = spark.createDataFrame(
+        [(int(source), int(source))], "v long, parent long"
+    )
+    return dag.union(self_parent)
+
+
+def undirected_bfs_distances(edges: DataFrame, source: int) -> DataFrame:
+    return bfs_distances(symmetrized(edges), source)

@@ -1,0 +1,293 @@
+"""Per-graph exact algorithm ports: ``groupBy(graph_id).applyInPandas``
+over the pure-Python kernels.
+
+This is the DataFrame form of the reference's graph-per-key batching
+(transformer_base.rs:58-88, simple_transformer.rs:143-173): each graph_id
+group becomes one Arrow batch in one task; the kernel runs the exact
+sequential algorithm (CNM heaps, fractional-coreness priority queue,
+Brandes, Fiedler) whose semantics cannot be superstep-ized without
+changing results.  Parallelism across graphs is Spark task parallelism —
+the same granularity as the reference's rayon pool, minus the pre-sorted
+input requirement (the shuffle groups keys for us).
+
+Memory bound: one graph per worker heap — the same practical bound as the
+reference's per-batch build.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..functions import kernels as K
+
+GRAPH_COL = "graph_id"
+
+
+def _adj_from_pdf(pdf: pd.DataFrame):
+    return K.build_undirected_adj(
+        list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
+    )
+
+
+def featurize(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """simple_graph_featurizer: one JSON feature map per graph
+    (cf. simple_transformer.rs:41-84; output `graph_id\\tjson`)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        # seed betweenness-source sampling by graph id for determinism
+        stats = K.graph_stats(adj, seed=int(gid) if str(gid).isdigit() else hash(gid))
+        return pd.DataFrame({graph_col: [gid], "stats": [json.dumps(stats, sort_keys=True)]})
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, stats string"
+    )
+
+
+def core_miner(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """core_miner default output: per node coreness, degree, anomaly,
+    sorted by coreness (cf. core_transformer.rs:64-92)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        core = K.coreness_values(adj)
+        anom = K.coreness_anomaly(adj, core)
+        deg = K.degrees(adj)
+        rows = sorted(core.items(), key=lambda kv: (kv[1], kv[0]))
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "coreness": [c for _, c in rows],
+                "degree": [deg[n] for n, _ in rows],
+                "anomaly": [anom[n] for n, _ in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, node long, coreness int, degree int, anomaly double",
+    )
+
+
+def weighted_core_miner(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """core_miner -w: fractional coreness + degree
+    (cf. weighted_core_transformer.rs:56-82)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        wadj = K.build_weighted_adj(
+            list(
+                zip(
+                    pdf["src"].astype("int64"),
+                    pdf["dst"].astype("int64"),
+                    pdf["weight"].astype("float64"),
+                )
+            )
+        )
+        fc = K.fractional_coreness(wadj)
+        rows = sorted(fc.items(), key=lambda kv: (kv[1], kv[0]))
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "frac_coreness": [c for _, c in rows],
+                "degree": [len(wadj[n]) for n, _ in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, node long, frac_coreness double, degree int"
+    )
+
+
+def kpeak_miner(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """core_miner --kpeaks: coreness, peak number, mountain id
+    (cf. kpeak_transformer.rs:62-89)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        core = K.coreness_values(adj)
+        peaks, mountains = K.k_peak_mountain_assignment(adj)
+        m_of = {n: mid for mid, nodes in mountains.items() for n in nodes}
+        rows = sorted(adj)
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": rows,
+                "coreness": [core[n] for n in rows],
+                "peak": [peaks[n] for n in rows],
+                "mountain": [m_of[n] for n in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, node long, coreness int, peak int, mountain int",
+    )
+
+
+def connected_components_per_graph(
+    edges: DataFrame, graph_col: str = GRAPH_COL
+) -> DataFrame:
+    """connected_component_extractor: per node, component id in the
+    reference's discovery order (cf.
+    connected_components_transformer.rs:52-72)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        membership, _ = K.connected_components_membership(adj)
+        rows = sorted(membership.items())
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "component": [c for _, c in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, node long, component int"
+    )
+
+
+def scc_per_graph(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """Strongly connected components per graph.  Note: the reference CLI's
+    `-d` flag is inverted (connected_component_extractor.rs:48-52 runs the
+    undirected transformer for -d); we implement the documented intent."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        out_adj, in_adj = K.build_directed_adj(
+            list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
+        )
+        comps = K.strongly_connected_components(out_adj, in_adj)
+        recs = []
+        for idx, comp in enumerate(comps):
+            for n in comp:
+                recs.append((gid, n, idx))
+        return pd.DataFrame(recs, columns=[graph_col, "node", "component"])
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, node long, component int"
+    )
+
+
+def betweenness_per_graph(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """Exact Brandes betweenness per graph (betweenness.rs:57-96)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        bet = K.betweenness_brandes(adj)
+        rows = sorted(bet.items())
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "betweenness": [b for _, b in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, node long, betweenness double"
+    )
+
+
+def eigenvector_centrality_per_graph(
+    edges: DataFrame, eps: float = 0.001, max_iter: int = 1000,
+    graph_col: str = GRAPH_COL,
+) -> DataFrame:
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        ev = K.eigenvector_centrality(adj, eps, max_iter)
+        rows = sorted(ev.items())
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "evcent": [x for _, x in rows],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, node long, evcent double"
+    )
+
+
+def cnm_communities_per_graph(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """Exact CNM greedy modularity per graph (cnm_communities.rs:92-278);
+    returns one row per node with its final community id (the min node id
+    in the community, a canonical relabeling of the reference's internal
+    indices) plus the modularity-change trace as JSON on each row group."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        communities, trace = K.cnm_communities(adj)
+        label = {}
+        for _, members in communities.items():
+            m = min(members)
+            for n in members:
+                label[n] = m
+        rows = sorted(label.items())
+        tr = json.dumps(trace)
+        return pd.DataFrame(
+            {
+                graph_col: [gid] * len(rows),
+                "node": [n for n, _ in rows],
+                "community": [c for _, c in rows],
+                "modularity_trace": [tr] * len(rows),
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, node long, community long, modularity_trace string",
+    )
+
+
+def brokerage_per_graph(
+    edges: DataFrame, membership: dict, graph_col: str = GRAPH_COL
+) -> DataFrame:
+    """Brokerage role census per node for directed graphs
+    (brokerage.rs:26-66).  ``membership``: {node: community}."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        out_adj, in_adj = K.build_directed_adj(
+            list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
+        )
+        recs = []
+        for n in sorted(out_adj):
+            s = K.brokerage_scores(out_adj, in_adj, n, membership)
+            recs.append(
+                (
+                    gid, n,
+                    s["coordinator"], s["itinerant"], s["gatekeeper"],
+                    s["representative"], s["liaison"], s["total_open_twopaths"],
+                )
+            )
+        return pd.DataFrame(
+            recs,
+            columns=[
+                graph_col, "node", "coordinator", "itinerant", "gatekeeper",
+                "representative", "liaison", "total_open_twopaths",
+            ],
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, node long, coordinator int, itinerant int,"
+        " gatekeeper int, representative int, liaison int,"
+        " total_open_twopaths int",
+    )

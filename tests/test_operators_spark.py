@@ -1,0 +1,165 @@
+"""Distributed operators vs the kernel oracles on the reference fixture
+graphs — component assignments exact, triangle counts exact, coreness
+exact, PageRank allclose 1e-6 (north_rule correctness bar)."""
+
+import pytest
+
+from dachshund_spark.functions import kernels as K
+from dachshund_spark.operators import builders as B
+from dachshund_spark.operators.components import (
+    connected_components,
+    component_sizes,
+    is_connected,
+    to_discovery_order,
+)
+from dachshund_spark.operators.coreness import (
+    coreness,
+    k_core_components,
+    k_truss_edges,
+)
+from dachshund_spark.operators.label_propagation import label_propagation
+from dachshund_spark.operators.pagerank import pagerank
+from dachshund_spark.operators.paths import (
+    shortest_path_dag,
+    undirected_bfs_distances,
+)
+from dachshund_spark.operators.triangles import (
+    clustering_coefficients,
+    global_stats,
+    transitivity,
+    triangle_counts,
+)
+from tests.fixtures import (
+    KARATE_CLUB_EDGES,
+    TWO_KARATE_CLUBS,
+    TWO_KARATE_CLUBS_BRIDGE,
+    simple_graph_edges,
+)
+
+
+def test_builders_dedup(spark):
+    e = B.edges_df(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3)])
+    canon = B.canonical_undirected(e)
+    assert canon.count() == 2  # self-loop dropped, dups collapsed
+    assert B.symmetrized(e).count() == 4
+    assert {r["v"]: r["degree"] for r in B.degrees(e).collect()} == {
+        1: 1, 2: 2, 3: 1,
+    }
+
+
+def test_weighted_last_wins(spark):
+    rows = [(0, 1, 1.5, 0), (1, 0, 2.5, 1)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double, seq long")
+    out = B.weighted_canonical(e, order_col="seq").collect()
+    assert len(out) == 1 and out[0]["weight"] == 2.5
+
+
+def test_connected_components(spark):
+    e = B.edges_df(spark, TWO_KARATE_CLUBS)
+    cc = connected_components(e)
+    got = {(r["v"], r["component"]) for r in cc.collect()}
+    # min-id canonical labels: club 1 -> 1, club 2 -> 36
+    assert all(c == (1 if v <= 34 else 36) for v, c in got)
+    sizes = {r["component"]: r["size"] for r in component_sizes(cc).collect()}
+    assert sizes == {1: 34, 36: 34}
+    assert not is_connected(cc)
+    disc = to_discovery_order(cc)
+    idx = {r["component"]: r["component_idx"] for r in disc.collect()}
+    assert idx == {1: 0, 36: 1}
+
+    single = connected_components(B.edges_df(spark, KARATE_CLUB_EDGES))
+    assert is_connected(single)
+
+
+def test_pagerank_matches_numpy(spark):
+    # fixed iteration count on both sides -> identical iterate sequences;
+    # full convergence to 1e-6 is exercised by bench.py (~100 supersteps)
+    directed = KARATE_CLUB_EDGES + [(v, u) for u, v in KARATE_CLUB_EDGES]
+    oracle = K.pagerank_numpy(directed, damping=0.85, tol=0.0, max_iter=15)
+    e = B.edges_df(spark, directed)
+    for impl in ("sql", "csr"):
+        got = {
+            r["v"]: r["pagerank"]
+            for r in pagerank(e, tol=0.0, max_iter=15, impl=impl).collect()
+        }
+        assert set(got) == set(oracle)
+        for v in oracle:
+            assert abs(got[v] - oracle[v]) <= 1e-9, (impl, v)
+
+
+def test_pagerank_dangling(spark):
+    # chain with a sink: 1->2->3; vertex 3 dangles; fixed 20 iterations
+    edges = [(1, 2), (2, 3)]
+    oracle = K.pagerank_numpy(edges, tol=0.0, max_iter=20)
+    got = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(B.edges_df(spark, edges), tol=0.0, max_iter=20).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) <= 1e-9
+    for v in oracle:
+        assert abs(got[v] - oracle[v]) <= 1e-9
+
+
+def test_triangles_karate(spark):
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    adj = K.build_undirected_adj(KARATE_CLUB_EDGES)
+    want = K.triangle_counts(adj)
+    got = {r["v"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert got == want
+    assert abs(transitivity(e) - 0.2556818181818182) <= 1e-12
+    coefs = {
+        r["v"]: r["coefficient"] for r in clustering_coefficients(e).collect()
+    }
+    assert coefs[1] == 0.15
+    assert coefs[12] is None
+    assert coefs[22] == 1.0
+    stats = global_stats(e)
+    assert stats["vertices"] == 34 and stats["edges"] == 78
+    assert abs(stats["avg_clustering"] - K.avg_clustering(adj)) <= 1e-12
+
+
+def test_coreness_distributed(spark):
+    for fixture in (KARATE_CLUB_EDGES, simple_graph_edges(7), simple_graph_edges(3)):
+        e = B.edges_df(spark, fixture)
+        want = K.coreness_values(K.build_undirected_adj(fixture))
+        got = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+        assert got == want
+
+
+def test_k_core_components(spark):
+    e = B.edges_df(spark, TWO_KARATE_CLUBS_BRIDGE)
+    cc = k_core_components(e, 4)
+    sizes = sorted(
+        r["size"] for r in component_sizes(cc).collect()
+    )
+    assert sizes == [10, 10]
+
+
+def test_k_truss_edges(spark):
+    g0 = simple_graph_edges(0)
+    e = B.edges_df(spark, g0)
+    got = {(r["src"], r["dst"]) for r in k_truss_edges(e, 3).collect()}
+    trusses, _ = K.k_trusses(K.build_undirected_adj(g0), 3)
+    want = {e for t in trusses for e in t}
+    assert got == want
+
+
+def test_bfs_and_dag(spark):
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    adj = K.build_undirected_adj(KARATE_CLUB_EDGES)
+    want_dist, want_parents = K.shortest_paths(adj, 1)
+    got = {r["v"]: r["dist"] for r in undirected_bfs_distances(e, 1).collect()}
+    assert got == {n: d for n, d in want_dist.items() if d is not None}
+    dag = shortest_path_dag(e, 1)
+    got_parents = {}
+    for r in dag.collect():
+        got_parents.setdefault(r["v"], set()).add(r["parent"])
+    assert got_parents == want_parents
+
+
+def test_label_propagation(spark):
+    g3 = simple_graph_edges(3)  # two disjoint triangles
+    e = B.edges_df(spark, g3)
+    got = {r["v"]: r["label"] for r in label_propagation(e).collect()}
+    want = K.label_propagation(K.build_undirected_adj(g3))
+    assert got == want

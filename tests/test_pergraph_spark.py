@@ -1,0 +1,119 @@
+"""Per-graph applyInPandas operators vs the kernel goldens, multiple
+graph_ids in one DataFrame (the reference's batch-per-graph granularity)."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from dachshund_spark.functions import kernels as K
+from dachshund_spark.operators import pergraph as PG
+from tests.fixtures import (
+    KARATE_CLUB_EDGES,
+    simple_graph_edges,
+    weighted_graph_edges,
+)
+
+
+def _multi_graph_df(spark, graphs):
+    rows = []
+    for gid, edges in graphs.items():
+        for u, v in edges:
+            rows.append((gid, u, v))
+    return spark.createDataFrame(rows, "graph_id long, src long, dst long")
+
+
+def test_featurize_multi_graph(spark):
+    graphs = {0: simple_graph_edges(0), 1: KARATE_CLUB_EDGES, 2: simple_graph_edges(3)}
+    out = {r["graph_id"]: json.loads(r["stats"]) for r in PG.featurize(
+        _multi_graph_df(spark, graphs)).collect()}
+    for gid, edges in graphs.items():
+        want = K.graph_stats(K.build_undirected_adj(edges), seed=gid)
+        assert out[gid] == json.loads(json.dumps(want)), gid
+
+
+def test_core_miner(spark):
+    df = _multi_graph_df(spark, {7: simple_graph_edges(7)})
+    rows = PG.core_miner(df).collect()
+    adj = K.build_undirected_adj(simple_graph_edges(7))
+    want_core = K.coreness_values(adj)
+    want_anom = K.coreness_anomaly(adj, want_core)
+    assert {r["node"]: r["coreness"] for r in rows} == want_core
+    for r in rows:
+        assert abs(r["anomaly"] - want_anom[r["node"]]) < 1e-12
+    # sorted by coreness within the graph (core_transformer.rs:77)
+    cor = [r["coreness"] for r in rows]
+    assert cor == sorted(cor)
+
+
+def test_weighted_core_miner(spark):
+    rows = []
+    for u, v, w in weighted_graph_edges(6):
+        rows.append((6, u, v, w))
+    df = spark.createDataFrame(rows, "graph_id long, src long, dst long, weight double")
+    got = {r["node"]: r["frac_coreness"] for r in PG.weighted_core_miner(df).collect()}
+    want = K.fractional_coreness(K.build_weighted_adj(weighted_graph_edges(6)))
+    assert got == want
+
+
+def test_kpeak_miner(spark):
+    df = _multi_graph_df(spark, {8: simple_graph_edges(8)})
+    got = {r["node"]: (r["peak"], r["mountain"]) for r in PG.kpeak_miner(df).collect()}
+    peaks, mountains = K.k_peak_mountain_assignment(
+        K.build_undirected_adj(simple_graph_edges(8))
+    )
+    m_of = {n: mid for mid, nodes in mountains.items() for n in nodes}
+    assert got == {n: (peaks[n], m_of[n]) for n in peaks}
+
+
+def test_cc_and_scc_per_graph(spark):
+    df = _multi_graph_df(spark, {9: simple_graph_edges(9)})
+    got = {r["node"]: r["component"] for r in
+           PG.connected_components_per_graph(df).collect()}
+    want, _ = K.connected_components_membership(
+        K.build_undirected_adj(simple_graph_edges(9))
+    )
+    assert got == want
+
+    scc = PG.scc_per_graph(_multi_graph_df(spark, {1: KARATE_CLUB_EDGES}))
+    assert scc.select("component").distinct().count() == 34
+
+
+def test_betweenness_and_evcent_per_graph(spark):
+    df = _multi_graph_df(spark, {1: KARATE_CLUB_EDGES})
+    bet = {r["node"]: r["betweenness"] for r in PG.betweenness_per_graph(df).collect()}
+    assert abs(bet[34] - 160.5515873) <= 1e-6
+    ev = {r["node"]: r["evcent"] for r in
+          PG.eigenvector_centrality_per_graph(df).collect()}
+    assert abs(ev[34] - 1.0) <= 0.001
+
+
+def test_cnm_per_graph(spark):
+    df = _multi_graph_df(spark, {1: KARATE_CLUB_EDGES})
+    rows = PG.cnm_communities_per_graph(df).collect()
+    trace = json.loads(rows[0]["modularity_trace"])
+    from tests.fixtures import KARATE_MODULARITY_CHANGES
+
+    for got, want in zip(trace, KARATE_MODULARITY_CHANGES):
+        assert abs(got - want) <= 0.001
+    # communities == kernel communities (canonical min-id labels)
+    communities, _ = K.cnm_communities(K.build_undirected_adj(KARATE_CLUB_EDGES))
+    want_label = {}
+    for members in communities.values():
+        m = min(members)
+        for n in members:
+            want_label[n] = m
+    assert {r["node"]: r["community"] for r in rows} == want_label
+
+
+def test_brokerage_per_graph(spark):
+    from tests.fixtures import KARATE_BROKERAGE_EXPECTED
+
+    df = _multi_graph_df(spark, {1: KARATE_CLUB_EDGES})
+    membership = {n: 1 + (n <= 17) for n in range(1, 35)}
+    rows = PG.brokerage_per_graph(df, membership).collect()
+    for r in rows:
+        coord, itin, rep, gate, liai, total = KARATE_BROKERAGE_EXPECTED[r["node"]]
+        assert (
+            r["coordinator"], r["itinerant"], r["representative"],
+            r["gatekeeper"], r["liaison"], r["total_open_twopaths"],
+        ) == (coord, itin, rep, gate, liai, total), r["node"]
