@@ -310,6 +310,53 @@ def _q_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def _q_featurizer_per_user(spark, sf_dir):
+    # simple_graph_featurizer over each user's event-succession graph
+    # (per-graph exact kernel; golden-tested in tests/ — rows-only here)
+    from dachshund_spark.operators.pergraph import featurize
+
+    edges = event_chain_edges(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("src"), F.col("user_id").alias("graph_id")
+    )
+    g = edges.join(ev, "src").select("graph_id", "src", "dst")
+    return featurize(g)
+
+
+def _q_core_miner_per_user(spark, sf_dir):
+    # core_miner output (coreness, degree, anomaly) per user graph
+    from dachshund_spark.operators.pergraph import core_miner
+
+    edges = event_chain_edges(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("src"), F.col("user_id").alias("graph_id")
+    )
+    g = edges.join(ev, "src").select("graph_id", "src", "dst")
+    return core_miner(g)
+
+
+def _q_clique_miner(spark, sf_dir):
+    # beam-search quasi-biclique mining on the supplier-part bipartite
+    # graph derived from lineitem (rows-only; kernel golden-tested)
+    from dachshund_spark.functions.clique_kernel import SearchProblem
+    from dachshund_spark.operators.clique_miner import mine_cliques
+
+    li = _t(spark, sf_dir, "lineitem")
+    typed = li.select(
+        F.lit(0).cast("long").alias("graph_id"),
+        F.col("l_suppkey").alias("core_id"),
+        F.col("l_partkey").alias("non_core_id"),
+        F.lit("supplies").alias("edge_type"),
+        F.lit("part").alias("non_core_type"),
+    ).distinct()
+    sp = SearchProblem(
+        beam_size=10, alpha=1.0, global_thresh=0.5, local_thresh=0.5,
+        num_to_search=10, num_epochs=30, max_repeated_prior_scores=3,
+        min_degree=2,
+    )
+    return mine_cliques(typed, [["supplier", "supplies", "part"]], sp)
+
+
 def _q_events_hourly(spark, sf_dir):
     from dachshund_spark.streaming.events import windowed_event_counts
 
@@ -377,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_simhash": _q_simhash,
         "emb_cosine_topk": _q_cosine_topk,
+        "graph_featurizer_per_user": _q_featurizer_per_user,
+        "graph_core_miner_per_user": _q_core_miner_per_user,
+        "graph_clique_miner": _q_clique_miner,
         "events_hourly_counts": _q_events_hourly,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,

@@ -1,0 +1,126 @@
+"""spark-submit entry points (north_rule: 'ships as spark-submit
+--py-files jobs').
+
+Usage:
+  spark-submit --py-files dachshund_spark.zip -m dachshund_spark.jobs \
+      <job> [options]
+
+Jobs:
+  extract     pages parquet -> edge table parquet (+ url dim)
+  pagerank    edge parquet -> (v, pagerank) parquet; resumable
+  cc          edge parquet -> (v, component) parquet; resumable
+  lp          edge parquet -> (v, label) parquet
+  triangles   edge parquet -> (v, triangles) parquet + global stats JSON
+  coreness    edge parquet -> (v, coreness) parquet
+  featurize   (graph_id, src, dst) parquet -> per-graph feature JSON
+  cliques     typed-edge parquet -> wide clique rows
+
+Every iterative job accepts --checkpoint-dir; when a checkpoint for the
+job name exists there, the run resumes from the latest superstep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .session import get_spark
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
+    p.add_argument("job", choices=[
+        "extract", "pagerank", "cc", "lp", "triangles", "coreness",
+        "featurize", "cliques",
+    ])
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--impl", default="sql", choices=["sql", "csr"])
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--typespec", default=None, help="JSON typespec for cliques")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(
+        app_name=f"dachshund_{args.job}",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cp = None
+    if args.checkpoint_dir:
+        from .plans.superstep import CheckpointManager
+
+        cp = CheckpointManager(args.checkpoint_dir, args.job)
+
+    if args.job == "extract":
+        from .functions.extraction import extract
+        from .sources.pages import edges_from_extracted
+
+        pages = spark.read.parquet(args.input)
+        edges = edges_from_extracted(extract(pages))
+        edges.write.mode("overwrite").parquet(args.output)
+    elif args.job == "pagerank":
+        from .operators.pagerank import pagerank
+
+        edges = spark.read.parquet(args.input)
+        out, res = pagerank(
+            edges,
+            damping=args.damping,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            impl=args.impl,
+            checkpointer=cp,
+            include_metrics=True,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "metrics": [m.__dict__ for m in res.metrics],
+        }))
+    elif args.job == "cc":
+        from .operators.components import connected_components
+
+        edges = spark.read.parquet(args.input)
+        out = connected_components(edges, max_iter=args.max_iter, checkpointer=cp)
+        out.write.mode("overwrite").parquet(args.output)
+    elif args.job == "lp":
+        from .operators.label_propagation import label_propagation
+
+        edges = spark.read.parquet(args.input)
+        out = label_propagation(edges, max_iter=args.max_iter, checkpointer=cp)
+        out.write.mode("overwrite").parquet(args.output)
+    elif args.job == "triangles":
+        from .operators.triangles import global_stats, triangle_counts
+
+        edges = spark.read.parquet(args.input)
+        triangle_counts(edges).write.mode("overwrite").parquet(args.output)
+        print(json.dumps(global_stats(edges)))
+    elif args.job == "coreness":
+        from .operators.coreness import coreness
+
+        edges = spark.read.parquet(args.input)
+        coreness(edges).write.mode("overwrite").parquet(args.output)
+    elif args.job == "featurize":
+        from .operators.pergraph import featurize
+
+        edges = spark.read.parquet(args.input)
+        featurize(edges).write.mode("overwrite").parquet(args.output)
+    elif args.job == "cliques":
+        from .functions.clique_kernel import SearchProblem
+        from .operators.clique_miner import mine_cliques
+
+        typespec = json.loads(args.typespec)
+        edges = spark.read.parquet(args.input)
+        mine_cliques(edges, typespec, SearchProblem()).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -136,7 +136,7 @@ def iterate(
         )
         metrics.append(m)
         if checkpointer is not None and (
-            i % checkpoint_every == 0 or delta <= tol
+            i % checkpoint_every == 0 or delta <= tol or i == max_iter
         ):
             reread = checkpointer.save(new_state, m)
             new_state.unpersist()

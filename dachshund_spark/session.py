@@ -23,6 +23,9 @@ DEFAULT_CONFIGS = {
     # Iterative jobs re-plan every superstep; keep plan strings cheap.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # iterative drivers log their own per-superstep metrics; the console
+    # progress bar only garbles harness output
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -117,3 +117,39 @@ def test_brokerage_per_graph(spark):
             r["coordinator"], r["itinerant"], r["representative"],
             r["gatekeeper"], r["liaison"], r["total_open_twopaths"],
         ) == (coord, itin, rep, gate, liai, total), r["node"]
+
+
+def test_clique_miner_spark(spark):
+    import json as _json
+
+    from dachshund_spark.functions import clique_kernel as CK
+    from dachshund_spark.operators.clique_miner import mine_cliques
+
+    typespec = [
+        ["author", "published_at", "conference"],
+        ["author", "published_at", "journal"],
+    ]
+    rows = []
+    # graph 1: planted 6x5 biclique + noise pendant
+    for c in range(1, 7):
+        for nc in range(100, 105):
+            rows.append((1, c, nc, "published_at", "conference"))
+    rows.append((1, 50, 300, "published_at", "journal"))
+    # graph 2: too sparse, empty result after min_degree prune
+    rows.append((2, 1, 100, "published_at", "journal"))
+    df = spark.createDataFrame(
+        rows,
+        "graph_id long, core_id long, non_core_id long, edge_type string,"
+        " non_core_type string",
+    )
+    out = mine_cliques(
+        df, typespec, CK.SearchProblem(num_epochs=50, min_degree=2)
+    ).collect()
+    by_gid = {r["graph_id"]: r for r in out}
+    assert 1 in by_gid
+    r = by_gid[1]
+    assert r["num_core"] == 6 and r["num_non_core"] == 5
+    assert _json.loads(r["core_ids"]) == [1, 2, 3, 4, 5, 6]
+    assert _json.loads(r["non_core_ids"]) == [100, 101, 102, 103, 104]
+    assert r["cliqueness"] == 1.0
+    assert 2 not in by_gid  # pruned to empty
