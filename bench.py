@@ -36,7 +36,13 @@ def _pages_count(sf: float) -> int:
     return max(2000, int(2_000_000 * sf))
 
 
-def run_bench(sf_dir: str, cpus: int, pagerank_iters: int = 10) -> dict:
+def run_bench(
+    sf_dir: str,
+    cpus: int,
+    pagerank_iters: int = 10,
+    n_pages_override: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
@@ -54,7 +60,7 @@ def run_bench(sf_dir: str, cpus: int, pagerank_iters: int = 10) -> dict:
     spark = get_spark(
         app_name="dachshund_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=shuffle_partitions or max(cpus, 8),
         extra={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,7 +69,7 @@ def run_bench(sf_dir: str, cpus: int, pagerank_iters: int = 10) -> dict:
 
     # --- north-star pipeline: pages -> extraction -> edges ---
     t0 = time.time()
-    n_pages = _pages_count(sf)
+    n_pages = n_pages_override or _pages_count(sf)
     pages = synthesize_pages(spark, n_pages, n_sites=997, n_hubs=64, seed=42)
     edges = edges_from_extracted(extract(pages)).persist()
     n_edges = edges.count()
@@ -143,9 +149,12 @@ def run_bench(sf_dir: str, cpus: int, pagerank_iters: int = 10) -> dict:
 def _scaling_child(sf_dir: str, cpus: int) -> dict:
     """Run the PageRank pipeline alone in a fresh JVM (separate process) and
     return its metrics — identical input and partitioning at both sizes."""
+    # larger synthetic graph than the default bench so supersteps are
+    # compute-bound rather than fixed-overhead-bound (~5.5M edges)
     code = (
         "import json, bench; "
-        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=10); "
+        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=10, "
+        "n_pages_override=1000000, shuffle_partitions=64); "
         "print('SCALING_JSON ' + json.dumps(r))"
     )
     env = dict(os.environ)
@@ -181,6 +190,7 @@ def run_scaling(sf_dir: str, small: int = 8, big: int = 32) -> str:
         f"Input: deterministic synthetic pages table ({r_small['n_pages']} pages, "
         f"{r_small['n_edges']} edges, power-law hubs), seed=42; sf dir `{sf_dir}`.",
         "Job: PageRank, 10 supersteps, identical code/partitioning at both sizes;",
+        "fixed 64 shuffle partitions at both sizes (identical partitioning);",
         "fresh JVM per size (no warm-cache sharing).",
         "",
         "| parallelism | sec/superstep | edges/sec/superstep | edges/sec/core |",

@@ -41,9 +41,16 @@ def connected_components(
     adj = symmetrized(edges).repartition("src").persist()
     adj.count()
 
-    labels = vertices(edges).select("v", F.col("v").alias("component"))
-    # frontier flag: everything active initially
-    state0 = labels.withColumn("active", F.lit(True))
+    start_iteration = 0
+    state0 = None
+    if checkpointer is not None:
+        found = checkpointer.load_latest(spark)
+        if found is not None:
+            start_iteration, state0 = found
+    if state0 is None:
+        labels = vertices(edges).select("v", F.col("v").alias("component"))
+        # frontier flag: everything active initially
+        state0 = labels.withColumn("active", F.lit(True))
 
     def step(state: DataFrame, i: int):
         frontier = state.filter("active").select("v", "component")
@@ -65,8 +72,13 @@ def connected_components(
                 ).alias("active"),
             )
         )
-        changed = new_state.filter("active").count()
-        return new_state, float(changed)
+        # single action per superstep: materialize + (changed, rows)
+        new_state = new_state.persist()
+        agg = new_state.agg(
+            F.sum(F.col("active").cast("long")).alias("changed"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        return new_state, float(agg["changed"]), int(agg["rows"])
 
     result = iterate(
         state0,
@@ -74,6 +86,7 @@ def connected_components(
         max_iter=max_iter,
         tol=0.0,
         checkpointer=checkpointer,
+        start_iteration=start_iteration,
     )
     out = result.state.select("v", "component")
     adj.unpersist()

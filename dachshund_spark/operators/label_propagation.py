@@ -33,7 +33,9 @@ def label_propagation(
     """Returns DataFrame[v: long, label: long]."""
     adj = symmetrized(edges).repartition("src").persist()
     adj.count()
-    state0 = vertices(edges).select("v", F.col("v").alias("label"))
+    state0 = vertices(edges).select(
+        "v", F.col("v").alias("label"), F.lit(False).alias("_chg")
+    )
 
     def step(state: DataFrame, i: int):
         msgs = adj.join(state, adj.src == state.v).select(
@@ -50,10 +52,14 @@ def label_propagation(
         new_state = prev.join(new_labels, "v", "left").select(
             "v", F.coalesce(F.col("label"), F.col("old_label")).alias("label"),
             (F.coalesce(F.col("label"), F.col("old_label")) != F.col("old_label")).alias("_chg"),
-        )
-        new_state = new_state.persist()
-        changed = new_state.filter("_chg").count()
-        return new_state.select("v", "label"), float(changed)
+        ).persist()
+        # single action: (changed, rows) in one aggregate; _chg stays in the
+        # state so the persisted DataFrame is the one the loop manages
+        agg = new_state.agg(
+            F.sum(F.col("_chg").cast("long")).alias("changed"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        return new_state, float(agg["changed"]), int(agg["rows"])
 
     result = iterate(
         state0, step, max_iter=max_iter, tol=0.0, checkpointer=checkpointer

@@ -5,24 +5,27 @@ Template = the reference's eigenvector power iteration
 weights, dangling-mass redistribution, and L1 convergence (Σ|Δ| < tol).
 Oracle: ``kernels.pagerank_numpy`` (allclose 1e-6 at convergence).
 
-Two physical strategies, selectable per call:
-
-* ``impl="sql"`` — pure DataFrame: ``links ⋈ ranks → groupBy(dst).sum``.
-  Catalyst gives partial (map-side) aggregation; AQE splits skewed
-  reducers.  The ``links`` table (edge + precomputed 1/out_degree weight)
-  is repartitioned on ``src`` and persisted once, so every superstep
-  shuffles only the rank vector, not the edge table.
-
-* ``impl="csr"`` — per-partition CSR-block gather-scatter (north_star):
-  after the ranks join, an Arrow-batched ``mapInPandas`` factorizes each
-  partition's dst column into a dense local id space (numpy) and
-  ``np.bincount``-combines rank*weight locally, emitting one partial row
-  per *distinct* dst per partition instead of one per edge — an explicit
-  pre-shuffle combine that cuts shuffle volume on high-fanout partitions
-  beyond what hash-aggregate buffers cover.
-
-Both return identical values (tested against each other and the numpy
-oracle).
+Physical design:
+* ONE Spark action per superstep.  The state carries a ``dangling`` flag,
+  and the single per-superstep aggregate returns (rows, L1 delta, next
+  dangling mass) together — naive formulations spend 2-3 extra jobs per
+  superstep on scalar lookups, and at cluster scale fixed job overhead is
+  what caps scaling efficiency.
+* The ``links`` table (edge + precomputed 1/out_degree weight) is
+  repartitioned on ``src`` and persisted once; every superstep shuffles
+  only the rank vector.
+* Two aggregation strategies, selectable per call:
+  - ``impl="sql"``: ``links ⋈ ranks → groupBy(dst).sum`` — Catalyst gives
+    map-side partial aggregation; AQE splits skewed reducers.
+  - ``impl="csr"``: per-partition CSR-block gather-scatter (north_star) —
+    after the ranks join, an Arrow-batched ``mapInPandas`` factorizes each
+    partition's dst column into a dense local id space (numpy) and
+    ``np.bincount``-combines rank*weight locally, emitting one partial row
+    per *distinct* dst per partition instead of one per edge: an explicit
+    pre-shuffle combine that cuts shuffle volume on high-fanout partitions
+    beyond what hash-aggregate buffers cover.
+  Both return identical values (tested against each other and the numpy
+  oracle).
 """
 
 from __future__ import annotations
@@ -74,7 +77,6 @@ def pagerank(
     link table); pre-deduplicate upstream if simple-graph semantics are
     wanted.
     """
-    spark = edges.sparkSession
     verts = vertices(edges).persist()
     n = verts.count()
 
@@ -87,11 +89,30 @@ def pagerank(
     )
     links.count()
 
-    state0 = verts.select(
-        "v",
-        F.lit(1.0 / n).alias("rank"),
-        F.lit(1.0).alias("delta"),
+    # state: (v, rank, delta, dangling); the dangling flag makes the next
+    # superstep's dangling mass a by-product of this superstep's aggregate
+    start_iteration = 0
+    state0 = None
+    if checkpointer is not None:
+        found = checkpointer.load_latest(edges.sparkSession)
+        if found is not None:
+            start_iteration, state0 = found
+    if state0 is None:
+        state0 = verts.join(
+            out_deg.select(F.col("src").alias("v"), F.lit(False).alias("nd")),
+            "v",
+            "left",
+        ).select(
+            "v",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(1.0).alias("delta"),
+            F.col("nd").isNull().alias("dangling"),
+        )
+    state0 = state0.persist()
+    dangling_mass = (
+        state0.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
     )
+    carried = {"dangling_mass": dangling_mass}
 
     def step(state: DataFrame, i: int):
         ranks = state.select("v", "rank")
@@ -105,38 +126,37 @@ def pagerank(
             sums = partials.groupBy("dst").agg(F.sum("partial").alias("mass"))
         else:
             sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
-        sums = sums.persist()
-        # non-dangling vertices emit their full rank, so the dangling mass
-        # is the total rank (==1 by induction) minus the emitted mass —
-        # one scalar aggregate instead of an extra join per superstep
-        emitted = sums.agg(F.sum("mass")).collect()[0][0] or 0.0
-        dangling = max(0.0, 1.0 - emitted)
-        base = (1.0 - damping) / n + damping * dangling / n
-        prev = state.select("v", F.col("rank").alias("old_rank"))
-        new_state = (
-            prev.join(sums, prev.v == sums.dst, "left")
-            .select(
-                "v",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-                F.abs(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                    - F.col("old_rank")
-                ).alias("delta"),
-            )
+        base = (1.0 - damping) / n + damping * carried["dangling_mass"] / n
+        prev = state.select(
+            "v", F.col("rank").alias("old_rank"), "dangling"
         )
-        # materialize before dropping the sums cache so the follow-up count
-        # in the superstep loop is served from cache, not a recompute
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("mass"), F.lit(0.0)
+        )
+        new_state = prev.join(sums, prev.v == sums.dst, "left").select(
+            "v",
+            new_rank.alias("rank"),
+            F.abs(new_rank - F.col("old_rank")).alias("delta"),
+            "dangling",
+        )
+        # the single action of this superstep: materializes the persisted
+        # state and returns (L1 delta, next dangling mass, rows) at once
         new_state = new_state.persist()
-        l1 = new_state.agg(F.sum("delta")).collect()[0][0]
-        sums.unpersist()
-        return new_state, float(l1)
+        agg = new_state.agg(
+            F.sum("delta").alias("l1"),
+            F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("dmass"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        carried["dangling_mass"] = agg["dmass"] or 0.0
+        return new_state, float(agg["l1"]), int(agg["rows"])
 
     result = iterate(
-        state0, step, max_iter=max_iter, tol=tol, checkpointer=checkpointer
+        state0,
+        step,
+        max_iter=max_iter,
+        tol=tol,
+        checkpointer=checkpointer,
+        start_iteration=start_iteration,
     )
     out = result.state.select("v", F.col("rank").alias("pagerank"))
     links.unpersist()

@@ -109,9 +109,12 @@ def iterate(
     checkpointer: CheckpointManager | None = None,
     start_iteration: int = 0,
 ) -> SuperstepResult:
-    """Run ``step(state, i) -> (new_state, delta)`` until ``delta <= tol``
-    or ``max_iter``.  ``delta`` is the algorithm's convergence measure
-    (L1 score change, #changed labels, #removed vertices...).
+    """Run ``step(state, i) -> (new_state, delta[, rows])`` until
+    ``delta <= tol`` or ``max_iter``.  ``delta`` is the algorithm's
+    convergence measure (L1 score change, #changed labels, #removed
+    vertices...).  A step that already materialized its state may return
+    ``rows`` as a third element to avoid a redundant count action — at
+    cluster scale, extra per-superstep jobs are pure fixed overhead.
 
     The returned state is persisted; callers unpersist when done.
     """
@@ -122,9 +125,14 @@ def iterate(
     i = start_iteration
     while i < max_iter:
         t0 = time.time()
-        new_state, delta = step(state, i)
-        new_state = new_state.persist()
-        rows = new_state.count()
+        out = step(state, i)
+        if len(out) == 3:
+            new_state, delta, rows = out
+            new_state = new_state.persist()
+        else:
+            new_state, delta = out
+            new_state = new_state.persist()
+            rows = new_state.count()
         seconds = time.time() - t0
         i += 1
         m = SuperstepMetrics(

@@ -163,3 +163,28 @@ def test_label_propagation(spark):
     got = {r["v"]: r["label"] for r in label_propagation(e).collect()}
     want = K.label_propagation(K.build_undirected_adj(g3))
     assert got == want
+
+
+def test_distributed_eigenvector_centrality(spark):
+    from dachshund_spark.operators.centrality import eigenvector_centrality
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    got = {r["v"]: r["evcent"] for r in eigenvector_centrality(e).collect()}
+    # golden values tests/karate_club.rs:446-458
+    assert abs(got[34] - 1.0) <= 0.001
+    assert abs(got[1] - 0.95213237) <= 0.001
+    assert abs(got[19] - 0.27159396) <= 0.001
+
+
+def test_distributed_betweenness(spark):
+    from dachshund_spark.operators.centrality import betweenness
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    got = {r["v"]: r["betweenness"] for r in betweenness(e).collect()}
+    assert got[8] == 0.0
+    assert abs(got[34] - 160.5515873) <= 1e-6
+    assert abs(got[33] - 76.6904762) <= 1e-6
+    # sampled-sources variant runs and bounds the exact values
+    some = {r["v"]: r["betweenness"]
+            for r in betweenness(e, sources=[1, 2, 3]).collect()}
+    assert all(some[v] <= got[v] + 1e-9 for v in got)
