@@ -1,0 +1,105 @@
+"""TSV source formats, graph-key interning, clique seeding, skew helpers."""
+
+import pyspark.sql.functions as F
+
+from dachshund_spark.operators import builders as B
+from dachshund_spark.plans import skew
+from dachshund_spark.sources import tsv
+from tests.fixtures import KARATE_CLUB_EDGES
+
+
+def test_simple_tsv_roundtrip(spark, tmp_path):
+    path = tmp_path / "edges.tsv"
+    with open(path, "w") as f:
+        for u, v in KARATE_CLUB_EDGES:
+            f.write(f"g1\t{u}\t{v}\n")
+        f.write("g2\t1\t2\n")
+    df = tsv.read_simple_edges(spark, str(path))
+    assert df.count() == 79
+    interned, dim = tsv.intern_graph_keys(df)
+    assert dim.count() == 2
+    ids = {r["graph_key"]: r["graph_id"] for r in dim.collect()}
+    assert ids == {"g1": 0, "g2": 1}
+
+    out = tmp_path / "out"
+    tsv.write_edges_tsv(interned, str(out), graph_col="graph_key")
+    back = spark.read.csv(str(out), sep="\t").count()
+    # one row per src<dst edge
+    assert back == 79
+
+
+def test_weighted_and_typed_tsv(spark, tmp_path):
+    wpath = tmp_path / "w.tsv"
+    with open(wpath, "w") as f:
+        f.write("g\t0\t1\t1.5\ng\t1\t0\t2.5\n")
+    w = tsv.read_weighted_edges(spark, str(wpath))
+    assert w.count() == 2
+
+    tpath = tmp_path / "t.tsv"
+    with open(tpath, "w") as f:
+        # edge rows (6 cols) + one clique seed row (cols 4-6 empty)
+        f.write("0\t1\t2\tauthor\tpublished\tarticle\n")
+        f.write("0\t3\tauthor\t\t\t\n")
+    edges, seeds = tsv.read_typed_edges(spark, str(tpath))
+    assert edges.count() == 1
+    s = seeds.collect()
+    assert len(s) == 1 and s[0]["node_id"] == 3 and s[0]["node_type"] == "author"
+
+
+def test_clique_seeding(spark):
+    # tests/karate_club.rs:706-733: cliques {1..5} add 3 edges; adding
+    # {5,6,7} on top adds 2 more (5-6 missing, 6-7 and 5-7 exist... the
+    # reference counts 81 and 82 total edges)
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    g1 = B.with_cliques(e, [[1, 2, 3, 4, 5]])
+    assert g1.count() == 81
+    g2 = B.with_cliques(e, [[1, 2, 3, 4, 5], [5, 6, 7]])
+    assert g2.count() == 82
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("k"), F.lit(1.0).alias("value")
+    )
+    plain = {
+        r["k"]: r["value"]
+        for r in df.groupBy("k").agg(F.sum("value").alias("value")).collect()
+    }
+    salted = {
+        r["k"]: r["value"]
+        for r in skew.salted_agg(
+            df, "k", [F.sum("value").alias("value")], n_salt=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(5000).select((F.col("id") % 3).alias("k"), F.col("id").alias("x"))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    plain = big.join(small, "k").count()
+    salted = skew.salted_join(big, small, "k", n_salt=4).count()
+    assert plain == salted
+
+
+def test_top_hubs(spark):
+    e = B.edges_df(spark, [(i, 0) for i in range(1, 50)] + [(1, 2)])
+    hubs = {r["dst"] for r in skew.top_hubs(e, "dst", threshold=10).collect()}
+    assert hubs == {0}
+
+
+def test_generators(spark):
+    assert B.complete_graph(spark, 5).count() == 10
+    assert B.path_graph(spark, 5).count() == 4
+    assert B.cycle_graph(spark, 5).count() == 5
+    er = B.erdos_renyi_graph(spark, 30, 0.2, seed=1)
+    n = er.count()
+    assert 0 < n < 435
+    assert er.count() == n  # deterministic re-evaluation
+
+
+def test_min_degree_prune(spark):
+    # star + triangle: prune k=2 keeps only the triangle
+    e = B.edges_df(spark, [(0, 1), (0, 2), (0, 3), (10, 11), (11, 12), (12, 10)])
+    kept = {(r["src"], r["dst"]) for r in B.min_degree_prune(e, 2).collect()}
+    assert kept == {(10, 11), (11, 12), (10, 12)}
