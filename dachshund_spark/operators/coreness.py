@@ -80,14 +80,18 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     spark = edges.sparkSession
     sym = symmetrized(edges).persist()
     sym.count()
+    # the remaining-vertex set is tracked explicitly: a vertex whose
+    # neighbors are all peeled in one round becomes isolated (degree 0)
+    # and must still be assigned the current shell value
+    remaining = vertices(sym).localCheckpoint(eager=True)
     results = []
     k = 0
     for _ in range(max_rounds):
-        deg = _sym_degrees(sym).persist()
-        total = deg.count()
-        if total == 0:
-            deg.unpersist()
+        if remaining.count() == 0:
             break
+        deg = remaining.join(_sym_degrees(sym), "v", "left").select(
+            "v", F.coalesce("degree", F.lit(0)).alias("degree")
+        ).persist()
         min_deg = deg.agg(F.min("degree")).collect()[0][0]
         k = max(k, min_deg)
         peel = deg.filter(F.col("degree") <= k).select("v").persist()
@@ -98,6 +102,9 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
             continue
         results.append(
             peel.select("v", F.lit(k).alias("coreness")).localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
+            eager=True
         )
         nxt = (
             sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
@@ -112,6 +119,71 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     sym.unpersist()
     if not results:
         return spark.createDataFrame([], "v long, coreness int")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
+def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
+    """Distributed fractional (s-core) coreness: threshold-sweep peeling —
+    shell value s = min remaining node weight; cascade-remove every node
+    with remaining weight <= s; all removed in the cascade get coreness s.
+
+    Produces the same shell values as the reference's sequential
+    priority-queue algorithm (coreness.rs:267-316): the PQ pops nodes in
+    nondecreasing remaining weight with a running-max shell value, which
+    is exactly one threshold sweep per shell.  Input: DataFrame[src, dst,
+    weight] (undirected, deduped upstream via builders.weighted_canonical).
+    Returns DataFrame[v, coreness double].
+    """
+    spark = wedges.sparkSession
+    sym = wedges.select("src", "dst", "weight").union(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    ).persist()
+    sym.count()
+    remaining = vertices(sym.select("src", "dst")).localCheckpoint(eager=True)
+    results = []
+    shell = float("-inf")
+    for _ in range(max_rounds):
+        if remaining.count() == 0:
+            break
+        sums = sym.groupBy(F.col("src").alias("v")).agg(
+            F.sum("weight").alias("w")
+        )
+        w = remaining.join(sums, "v", "left").select(
+            "v", F.coalesce("w", F.lit(0.0)).alias("w")
+        ).persist()
+        min_w = w.agg(F.min("w")).collect()[0][0]
+        shell = max(shell, float(min_w))
+        peel = w.filter(F.col("w") <= shell).select("v").persist()
+        n_peel = peel.count()
+        w.unpersist()
+        if n_peel == 0:
+            peel.unpersist()
+            continue
+        results.append(
+            peel.select("v", F.lit(shell).alias("coreness")).localCheckpoint(
+                eager=True
+            )
+        )
+        remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        nxt = (
+            sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+            .localCheckpoint(eager=True)
+        )
+        sym.unpersist()
+        peel.unpersist()
+        sym = nxt
+    sym.unpersist()
+    if not results:
+        return spark.createDataFrame([], "v long, coreness double")
     out = results[0]
     for r in results[1:]:
         out = out.union(r)

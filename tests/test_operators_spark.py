@@ -188,3 +188,26 @@ def test_distributed_betweenness(spark):
     some = {r["v"]: r["betweenness"]
             for r in betweenness(e, sources=[1, 2, 3]).collect()}
     assert all(some[v] <= got[v] + 1e-9 for v in got)
+
+
+def test_distributed_weighted_coreness(spark):
+    from dachshund_spark.operators.builders import weighted_canonical
+    from dachshund_spark.operators.coreness import weighted_coreness
+    from tests.fixtures import weighted_graph_edges
+
+    for idx in (4, 5, 6):
+        fixture = weighted_graph_edges(idx)
+        e = weighted_canonical(B.edges_df(spark, fixture, weighted=True))
+        got = {r["v"]: r["coreness"] for r in weighted_coreness(e).collect()}
+        want = K.fractional_coreness(K.build_weighted_adj(fixture))
+        assert got == want, idx
+
+
+def test_coreness_star_center_assigned(spark):
+    # regression: a vertex isolated by a single peel round (star center)
+    # must still receive the shell value
+    star = [(0, i) for i in range(1, 7)]
+    e = B.edges_df(spark, star)
+    got = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+    want = K.coreness_values(K.build_undirected_adj(star))
+    assert got == want
