@@ -42,6 +42,7 @@ def run_bench(
     pagerank_iters: int = 10,
     n_pages_override: int | None = None,
     shuffle_partitions: int | None = None,
+    pagerank_block: int = 1,
 ) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -79,15 +80,19 @@ def run_bench(
 
     t0 = time.time()
     pr, res = pagerank(
-        edges, tol=0.0, max_iter=pagerank_iters, impl="sql", include_metrics=True
+        edges, tol=0.0, max_iter=pagerank_iters, impl="sql",
+        include_metrics=True, block_size=pagerank_block,
     )
     pr_rows = pr.count()
     queries[f"pagerank_{pagerank_iters}iter"] = round(time.time() - t0, 3)
-    superstep_secs = [m.seconds for m in res.metrics]
-    per_superstep = sum(superstep_secs) / len(superstep_secs)
+    # each metrics row covers one block of `pagerank_block` supersteps
+    block_secs = [m.seconds for m in res.metrics]
+    n_supersteps = len(block_secs) * pagerank_block
+    per_superstep = sum(block_secs) / n_supersteps
     extras["pagerank"] = {
         "vertices": pr_rows,
-        "supersteps": len(superstep_secs),
+        "supersteps": n_supersteps,
+        "block_size": pagerank_block,
         "sec_per_superstep": round(per_superstep, 4),
         "edges_per_sec_per_superstep": round(n_edges / per_superstep, 1),
         "edges_per_sec_per_core_per_superstep": round(
@@ -153,8 +158,8 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
     # compute-bound rather than fixed-overhead-bound (~5.5M edges)
     code = (
         "import json, bench; "
-        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=10, "
-        "n_pages_override=1000000, shuffle_partitions=64); "
+        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=20, "
+        "n_pages_override=1000000, shuffle_partitions=64, pagerank_block=5); "
         "print('SCALING_JSON ' + json.dumps(r))"
     )
     env = dict(os.environ)

@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--impl", default="sql", choices=["sql", "csr"])
+    p.add_argument("--block-size", type=int, default=1,
+                   help="supersteps chained per Spark action (pagerank)")
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--typespec", default=None, help="JSON typespec for cliques")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -75,6 +77,7 @@ def main(argv=None):
             impl=args.impl,
             checkpointer=cp,
             include_metrics=True,
+            block_size=args.block_size,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({

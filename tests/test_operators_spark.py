@@ -211,3 +211,27 @@ def test_coreness_star_center_assigned(spark):
     got = {r["v"]: r["coreness"] for r in coreness(e).collect()}
     want = K.coreness_values(K.build_undirected_adj(star))
     assert got == want
+
+
+def test_pagerank_block_execution(spark):
+    # block-chained supersteps must produce the same iterates
+    directed = KARATE_CLUB_EDGES + [(v, u) for u, v in KARATE_CLUB_EDGES]
+    oracle = K.pagerank_numpy(directed, tol=0.0, max_iter=12)
+    e = B.edges_df(spark, directed)
+    got = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(e, tol=0.0, max_iter=12, block_size=4).collect()
+    }
+    for v in oracle:
+        assert abs(got[v] - oracle[v]) <= 1e-9
+
+    # dangling graph through the in-plan scalar path
+    chain = [(1, 2), (2, 3)]
+    oracle2 = K.pagerank_numpy(chain, tol=0.0, max_iter=9)
+    got2 = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(B.edges_df(spark, chain), tol=0.0, max_iter=9,
+                          block_size=3, join_strategy="shuffle_hash").collect()
+    }
+    for v in oracle2:
+        assert abs(got2[v] - oracle2[v]) <= 1e-9

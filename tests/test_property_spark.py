@@ -1,0 +1,46 @@
+"""Property-based agreement: distributed operators == kernel oracles on
+random small graphs (hypothesis-generated, bounded example count because
+each example runs Spark jobs)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dachshund_spark.functions import kernels as K
+from dachshund_spark.operators import builders as B
+from dachshund_spark.operators.components import connected_components
+from dachshund_spark.operators.coreness import coreness
+from dachshund_spark.operators.triangles import triangle_counts
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_distributed_matches_kernels(spark, edges):
+    adj = K.build_undirected_adj(edges)
+    e = B.edges_df(spark, edges)
+
+    got_cc = {r["v"]: r["component"] for r in connected_components(e).collect()}
+    want_sets = {frozenset(c) for c in K.connected_components(adj) if c}
+    got_sets = {}
+    for v, c in got_cc.items():
+        got_sets.setdefault(c, set()).add(v)
+    assert {frozenset(s) for s in got_sets.values()} == want_sets
+    # min-id labels
+    assert all(c == min(s) for c, s in got_sets.items())
+
+    got_tri = {r["v"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert got_tri == K.triangle_counts(adj)
+
+    got_core = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+    assert got_core == K.coreness_values(adj)
