@@ -43,6 +43,7 @@ def run_bench(
     n_pages_override: int | None = None,
     shuffle_partitions: int | None = None,
     pagerank_block: int = 1,
+    scaling_only: bool = False,
 ) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -58,11 +59,18 @@ def run_bench(
     from dachshund_spark.sources.pages import edges_from_extracted, synthesize_pages
 
     sf = _sf_from_dir(sf_dir)
+    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "20g"}
+    # shuffle to tmpfs when available: local-mode shuffle file IO otherwise
+    # bottlenecks multi-core scaling long before the CPUs saturate
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/dachshund_spark_local"
+        os.makedirs(shm, exist_ok=True)
+        extra["spark.local.dir"] = shm
     spark = get_spark(
         app_name="dachshund_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle_partitions or max(cpus, 8),
-        extra={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
@@ -85,21 +93,38 @@ def run_bench(
     )
     pr_rows = pr.count()
     queries[f"pagerank_{pagerank_iters}iter"] = round(time.time() - t0, 3)
-    # each metrics row covers one block of `pagerank_block` supersteps
+    # each metrics row covers one block of `pagerank_block` supersteps;
+    # steady-state stats drop the first two blocks (JIT + cache warm-up)
     block_secs = [m.seconds for m in res.metrics]
     n_supersteps = len(block_secs) * pagerank_block
     per_superstep = sum(block_secs) / n_supersteps
+    steady = block_secs[2:] if len(block_secs) > 3 else block_secs
+    per_superstep_steady = sum(steady) / (len(steady) * pagerank_block)
     extras["pagerank"] = {
         "vertices": pr_rows,
         "supersteps": n_supersteps,
         "block_size": pagerank_block,
         "sec_per_superstep": round(per_superstep, 4),
-        "edges_per_sec_per_superstep": round(n_edges / per_superstep, 1),
+        "sec_per_superstep_steady": round(per_superstep_steady, 4),
+        "edges_per_sec_per_superstep": round(n_edges / per_superstep_steady, 1),
         "edges_per_sec_per_core_per_superstep": round(
-            n_edges / per_superstep / cpus, 1
+            n_edges / per_superstep_steady / cpus, 1
         ),
+        "block_secs": block_secs,
         "cores": cpus,
     }
+    if scaling_only:
+        total = round(sum(queries.values()), 3)
+        out = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            **extras,
+        }
+        spark.stop()
+        return out
 
     t0 = time.time()
     pr_csr, _ = pagerank(
@@ -158,8 +183,9 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
     # compute-bound rather than fixed-overhead-bound (~5.5M edges)
     code = (
         "import json, bench; "
-        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=20, "
-        "n_pages_override=1000000, shuffle_partitions=64, pagerank_block=5); "
+        f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=40, "
+        "n_pages_override=4000000, shuffle_partitions=64, pagerank_block=5, "
+        "scaling_only=True); "
         "print('SCALING_JSON ' + json.dumps(r))"
     )
     env = dict(os.environ)
@@ -187,6 +213,7 @@ def run_scaling(sf_dir: str, small: int = 8, big: int = 32) -> str:
     r_big = _scaling_child(sf_dir, big)
     eps_small = r_small["pagerank"]["edges_per_sec_per_superstep"]
     eps_big = r_big["pagerank"]["edges_per_sec_per_superstep"]
+    # (steady-state: warm-up blocks excluded on both sides)
     speedup = eps_big / eps_small
     efficiency = speedup / (big / small)
     lines = [
@@ -200,9 +227,9 @@ def run_scaling(sf_dir: str, small: int = 8, big: int = 32) -> str:
         "",
         "| parallelism | sec/superstep | edges/sec/superstep | edges/sec/core |",
         "|---|---|---|---|",
-        f"| local[{small}] | {r_small['pagerank']['sec_per_superstep']} | "
+        f"| local[{small}] | {r_small['pagerank']['sec_per_superstep_steady']} | "
         f"{eps_small} | {r_small['pagerank']['edges_per_sec_per_core_per_superstep']} |",
-        f"| local[{big}] | {r_big['pagerank']['sec_per_superstep']} | "
+        f"| local[{big}] | {r_big['pagerank']['sec_per_superstep_steady']} | "
         f"{eps_big} | {r_big['pagerank']['edges_per_sec_per_core_per_superstep']} |",
         "",
         f"Throughput speedup {small}→{big} cores ({big // small}×): **{speedup:.2f}×**",
