@@ -165,7 +165,9 @@ def pagerank(
     # against this cached table (never against the previous lazy state, a
     # second reference to which would double the uncached plan per step —
     # measured as 2^k blow-up)
-    static = state0.select("v", "dangling").persist()
+    static = state0.select("v", "dangling").repartition("v").persist()
+    # (hash-partitioned on v so the per-sub-iteration full-vertex left join
+    # reuses the cached layout instead of re-exchanging every superstep)
     has_dangling = static.filter("dangling").limit(1).count() > 0
     effective_block = block_size if not has_dangling else 1
     # with dangling vertices the per-step mass depends on the previous
