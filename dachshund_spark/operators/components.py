@@ -121,3 +121,30 @@ def is_connected(components: DataFrame) -> bool:
     if n == 0:
         raise ValueError("Graph is empty")
     return n == 1
+
+
+def weakly_connected_components(edges: DataFrame, **kwargs) -> DataFrame:
+    """Directed edges treated as undirected (connected_components already
+    symmetrizes; cf. connected_components.rs:103-105)."""
+    return connected_components(edges, **kwargs)
+
+
+def is_acyclic(edges: DataFrame, max_rounds: int = 100000) -> bool:
+    """Distributed Kahn-style sink stripping (cf.
+    simple_directed_graph.rs:25-43): repeatedly remove vertices with no
+    remaining out-edges; acyclic iff the edge set empties."""
+    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        n = cur.count()
+        if n == 0:
+            return True
+        # vertices that still have out-edges
+        has_out = cur.select(F.col("src").alias("v")).distinct()
+        # keep only edges whose dst still has out-edges (dst is not a sink)
+        nxt = cur.join(
+            has_out.withColumnRenamed("v", "dst"), "dst", "left_semi"
+        ).localCheckpoint(eager=True)
+        if nxt.count() == n:
+            return False  # no sink removed: a cycle remains
+        cur = nxt
+    raise RuntimeError("is_acyclic did not converge")

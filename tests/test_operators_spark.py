@@ -235,3 +235,17 @@ def test_pagerank_block_execution(spark):
     }
     for v in oracle2:
         assert abs(got2[v] - oracle2[v]) <= 1e-9
+
+
+def test_distributed_acyclicity_and_wcc(spark):
+    from dachshund_spark.operators.components import (
+        is_acyclic as dist_is_acyclic,
+        weakly_connected_components,
+    )
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    assert dist_is_acyclic(e)  # directed as-given karate is a DAG
+    both = KARATE_CLUB_EDGES + [(v, u) for u, v in KARATE_CLUB_EDGES]
+    assert not dist_is_acyclic(B.edges_df(spark, both))
+    wcc = weakly_connected_components(B.edges_df(spark, KARATE_CLUB_EDGES))
+    assert wcc.select("component").distinct().count() == 1
