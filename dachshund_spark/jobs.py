@@ -56,7 +56,21 @@ def main(argv=None):
     if args.checkpoint_dir:
         from .plans.superstep import CheckpointManager
 
-        cp = CheckpointManager(args.checkpoint_dir, args.job)
+        # fingerprint = input + every parameter that shapes the iteration;
+        # a resume against checkpoints written for different inputs or
+        # parameters is refused rather than silently continued
+        fp = json.dumps(
+            {
+                "input": args.input,
+                "tol": args.tol,
+                "damping": args.damping,
+                "impl": args.impl,
+                "block_size": args.block_size,
+                "max_iter": args.max_iter,
+            },
+            sort_keys=True,
+        )
+        cp = CheckpointManager(args.checkpoint_dir, args.job, fingerprint=fp)
 
     if args.job == "extract":
         from .functions.extraction import extract

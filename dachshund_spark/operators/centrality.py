@@ -5,20 +5,25 @@
   L-infinity normalize each step, stop when the L1 change <= eps or
   max_iter.  Golden values: tests/karate_club.rs:446-458.
 
-* ``betweenness`` — exact Brandes, parallelized over sources
+* ``betweenness`` — Brandes, parallelized over sources
   (betweenness.rs:57-96; the reference loops sources sequentially).  The
-  graph is broadcast once as an edge list; each task runs the pure-Python
-  Brandes kernel for its slice of sources over a shared in-process CSR,
-  emitting (v, dependency) partials that a final groupBy sums.  This is
-  the standard source-parallel decomposition: exact, embarrassingly
-  parallel, bounded by the graph fitting on each executor (betweenness is
-  inherently O(VE) — for web-scale graphs use the sampled-sources variant,
-  matching the featurizer's 100-source approximation,
-  simple_transformer.rs:46-52).
+  canonical edge table is written ONCE to a parquet scratch path and read
+  inside each task (pyarrow) — the edge list never round-trips through
+  the driver, so driver memory stays O(1) in the graph size.  Each task
+  runs the pure-Python Brandes kernel for its slice of sources over a
+  shared in-process adjacency, emitting (v, dependency) partials that a
+  final groupBy sums.  The default is the reference featurizer's
+  approximation — 100 sampled sources when the graph has more than 100
+  vertices (simple_transformer.rs:46-52) — because exact betweenness is
+  inherently O(VE); pass ``max_sources=None`` for exact.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -46,6 +51,10 @@ def eigenvector_centrality(
         y = msgs.groupBy("v").agg(F.sum("x").alias("y")).persist()
         m = y.agg(F.max("y")).collect()[0][0]
         prev = state.select("v", F.col("x").alias("x0"))
+        # return the persisted DataFrame itself (extra column "d" is
+        # carried through iterate and stripped at the end) so iterate's
+        # unpersist releases exactly what was cached — no per-superstep
+        # cache leak
         new_state = prev.join(y, "v", "left").select(
             "v",
             (F.coalesce(F.col("y"), F.lit(0.0)) / F.lit(m)).alias("x"),
@@ -57,11 +66,7 @@ def eigenvector_centrality(
             F.sum("d").alias("l1"), F.count("*").alias("rows")
         ).collect()[0]
         y.unpersist()
-        return (
-            new_state.select("v", "x"),
-            float(agg["l1"]),
-            int(agg["rows"]),
-        )
+        return (new_state, float(agg["l1"]), int(agg["rows"]))
 
     result = iterate(state0, step, max_iter=max_iter, tol=eps)
     out = result.state.select("v", F.col("x").alias("evcent"))
@@ -69,31 +74,77 @@ def eigenvector_centrality(
     return out
 
 
-def betweenness(edges: DataFrame, sources: list[int] | None = None) -> DataFrame:
-    """Exact Brandes betweenness (undirected, 0.5-per-direction weights as
-    in the reference), source-parallel.  ``sources=None`` uses every
-    vertex (exact); pass a sampled list for the approximate variant."""
+def source_hash_expr(v, seed: int):
+    """md5(seed|v) — the deterministic source-sampling rank.  Computable
+    identically in Spark SQL, DuckDB, and python hashlib, so sampled-source
+    runs are reproducible across engines and across executors."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), v.cast("string")))
+
+
+def sample_sources_py(vertex_ids, max_sources: int, seed: int) -> list[int]:
+    """Python mirror of the Spark-side sampled-source selection (used by
+    kernel oracles): the ``max_sources`` vertices with smallest
+    md5(seed|v)."""
+    ranked = sorted(
+        (hashlib.md5(f"{seed}|{v}".encode()).hexdigest(), v) for v in vertex_ids
+    )
+    return [v for _, v in ranked[:max_sources]]
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    max_sources: int | None = 100,
+    seed: int = 0,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Brandes betweenness (undirected, 0.5-per-direction weights as in
+    the reference), source-parallel.
+
+    * ``sources`` — explicit source list (overrides sampling).
+    * ``max_sources`` — when the graph has more vertices than this, run
+      from a deterministic md5-ranked sample (the reference featurizer's
+      100-source approximation, simple_transformer.rs:46-52).  ``None``
+      means every vertex (exact).
+    * ``scratch_dir`` — where the canonical edge table is staged as
+      parquet for task-side reads.  MUST be a cluster-visible path
+      (HDFS/S3/shared FS) on a real cluster; defaults to a local temp dir,
+      correct for local[*] mode.
+    """
     spark = edges.sparkSession
     from ..operators.builders import canonical_undirected
 
     canon = canonical_undirected(edges)
-    edge_list = [(r["src"], r["dst"]) for r in canon.collect()]
-    bc_edges = spark.sparkContext.broadcast(edge_list)
+    root = scratch_dir or os.path.join(tempfile.gettempdir(), "dachshund_bet")
+    path = os.path.join(root, f"edges-{uuid.uuid4().hex}")
+    canon.write.mode("overwrite").parquet(path)
+    canon = spark.read.parquet(path)
 
     verts = vertices(canon)
-    if sources is None:
-        src_df = verts.select(F.col("v").alias("source"))
-    else:
+    if sources is not None:
         src_df = spark.createDataFrame(
             [(int(s),) for s in sources], "source long"
         )
+    elif max_sources is not None:
+        src_df = (
+            verts.orderBy(source_hash_expr(F.col("v"), seed))
+            .limit(max_sources)
+            .select(F.col("v").alias("source"))
+        )
+    else:
+        src_df = verts.select(F.col("v").alias("source"))
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     src_df = src_df.repartition(n_part)
 
     def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
         from ..functions.kernels import brandes_single_source, build_undirected_adj
 
-        adj = build_undirected_adj(bc_edges.value)
+        tbl = pq.read_table(path, columns=["src", "dst"])
+        adj = build_undirected_adj(
+            list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
+        )
         acc: dict[int, float] = {}
         for pdf in batches:
             for s in pdf["source"]:

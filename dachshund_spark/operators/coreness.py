@@ -87,22 +87,26 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     results = []
     k = 0
     for _ in range(max_rounds):
-        if remaining.count() == 0:
-            break
         deg = remaining.join(_sym_degrees(sym), "v", "left").select(
             "v", F.coalesce("degree", F.lit(0)).alias("degree")
         ).persist()
-        min_deg = deg.agg(F.min("degree")).collect()[0][0]
-        k = max(k, min_deg)
-        peel = deg.filter(F.col("degree") <= k).select("v").persist()
-        n_peel = peel.count()
-        deg.unpersist()
-        if n_peel == 0:
-            peel.unpersist()
-            continue
-        results.append(
-            peel.select("v", F.lit(k).alias("coreness")).localCheckpoint(eager=True)
+        # single driver action per round: remaining-count + min-degree in
+        # one aggregate (at scale the per-round serial floor is the number
+        # of driver jobs, not the shuffled bytes)
+        agg = deg.agg(
+            F.count("*").alias("n"), F.min("degree").alias("min_deg")
+        ).collect()[0]
+        if agg["n"] == 0:
+            deg.unpersist()
+            break
+        k = max(k, int(agg["min_deg"]))
+        # the argmin vertex has degree == min_deg <= k, so the peel set is
+        # never empty — no separate count action needed
+        peel = deg.filter(F.col("degree") <= k).select("v").localCheckpoint(
+            eager=True
         )
+        deg.unpersist()
+        results.append(peel.select("v", F.lit(k).alias("coreness")))
         remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
             eager=True
         )
@@ -114,7 +118,6 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         sym.unpersist()
-        peel.unpersist()
         sym = nxt
     sym.unpersist()
     if not results:
@@ -148,27 +151,23 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     results = []
     shell = float("-inf")
     for _ in range(max_rounds):
-        if remaining.count() == 0:
-            break
         sums = sym.groupBy(F.col("src").alias("v")).agg(
             F.sum("weight").alias("w")
         )
         w = remaining.join(sums, "v", "left").select(
             "v", F.coalesce("w", F.lit(0.0)).alias("w")
         ).persist()
-        min_w = w.agg(F.min("w")).collect()[0][0]
-        shell = max(shell, float(min_w))
-        peel = w.filter(F.col("w") <= shell).select("v").persist()
-        n_peel = peel.count()
-        w.unpersist()
-        if n_peel == 0:
-            peel.unpersist()
-            continue
-        results.append(
-            peel.select("v", F.lit(shell).alias("coreness")).localCheckpoint(
-                eager=True
-            )
+        # one driver action per round (count + min folded; see coreness)
+        agg = w.agg(F.count("*").alias("n"), F.min("w").alias("min_w")).collect()[0]
+        if agg["n"] == 0:
+            w.unpersist()
+            break
+        shell = max(shell, float(agg["min_w"]))
+        peel = w.filter(F.col("w") <= shell).select("v").localCheckpoint(
+            eager=True
         )
+        w.unpersist()
+        results.append(peel.select("v", F.lit(shell).alias("coreness")))
         remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
             eager=True
         )
@@ -179,7 +178,6 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         sym.unpersist()
-        peel.unpersist()
         sym = nxt
     sym.unpersist()
     if not results:

@@ -36,11 +36,22 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_dist = dist.union(nxt).persist()
-        new_dist.count()
+        new_dist = dist.union(nxt)
+        # lineage cut every few depths: the dist union chain otherwise
+        # grows linearly with graph diameter (and replays in full on a
+        # lost partition) — same discipline as plans/superstep.py
+        if depth % 8 == 0:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        else:
+            new_dist = new_dist.persist()
+            new_dist.count()
         dist.unpersist()
+        if frontier is not dist:
+            frontier.unpersist()
         dist = new_dist
         frontier = nxt
+    if frontier is not dist:
+        frontier.unpersist()
     adj.unpersist()
     return dist
 

@@ -27,6 +27,18 @@ from ..functions import kernels as K
 GRAPH_COL = "graph_id"
 
 
+def stable_graph_seed(gid) -> int:
+    """Executor-stable integer seed for a graph id: numeric ids pass
+    through; anything else hashes via md5 (python's builtin str hash is
+    PYTHONHASHSEED-salted and differs across worker processes)."""
+    s = str(gid)
+    if s.isdigit():
+        return int(s)
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
 def _adj_from_pdf(pdf: pd.DataFrame):
     return K.build_undirected_adj(
         list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
@@ -40,8 +52,10 @@ def featurize(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         gid = pdf[graph_col].iloc[0]
         adj = _adj_from_pdf(pdf)
-        # seed betweenness-source sampling by graph id for determinism
-        stats = K.graph_stats(adj, seed=int(gid) if str(gid).isdigit() else hash(gid))
+        # seed betweenness-source sampling by graph id for determinism —
+        # md5-based for non-numeric ids (python str hash is
+        # PYTHONHASHSEED-salted and would differ across executors)
+        stats = K.graph_stats(adj, seed=stable_graph_seed(gid))
         return pd.DataFrame({graph_col: [gid], "stats": [json.dumps(stats, sort_keys=True)]})
 
     return edges.groupBy(graph_col).applyInPandas(

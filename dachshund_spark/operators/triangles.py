@@ -4,6 +4,13 @@ Semantics: per-node triangle participation over the *deduplicated* simple
 graph, exactly the reference's set-intersection counts
 (transitivity.rs:20-51, clustering.rs:20-46).
 
+Self-loops: these distributed operators normalize through
+``canonical_undirected``, which drops self-loops; the pure-Python kernel
+builder (kernels.build_undirected_adj) keeps v ∈ N(v) to match the
+reference's adjacency.  Parity checks between the two therefore assume
+loop-free input — every driver-derived fixture (co-purchase, event-chain)
+is loop-free by construction (src <> dst filters).
+
 Scale design — degree-ordered wedge enumeration:
   1. canonicalize edges (u < v, distinct),
   2. orient every edge from the lower-(degree, id) endpoint to the higher

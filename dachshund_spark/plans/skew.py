@@ -28,11 +28,20 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salt: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from the row content via xxhash64 — no
-    rand(), so retried tasks produce identical output (required for
-    checkpoint/restart consistency)."""
+    """Deterministic salt: xxhash64 of the row content mixed with the
+    physical partition id — no rand(), so retried tasks produce identical
+    output for deterministically-partitioned inputs (file scans), which is
+    what checkpoint/restart consistency requires.  Mixing the partition id
+    in means byte-identical duplicate rows of one hub key (the classic
+    duplicate-row skew case) still spread across ``n_salt`` reducers as
+    long as they arrive on different input partitions; duplicates within a
+    single partition share a salt by design (they are already co-located
+    and cost no extra shuffle)."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).cast("int")
+        col_name,
+        F.pmod(
+            F.xxhash64(*df.columns, F.spark_partition_id()), F.lit(n_salt)
+        ).cast("int"),
     )
 
 

@@ -64,8 +64,15 @@ class CheckpointManager:
     parquet commit), so a killed job can never resume from a torn write.
     """
 
-    def __init__(self, root: str, name: str):
+    def __init__(self, root: str, name: str, fingerprint: str | None = None):
+        """``fingerprint`` identifies the input + parameters of the job
+        (any stable string, e.g. json of input path/tol/damping/block
+        size).  It is stored next to every checkpoint; ``load_latest``
+        refuses to resume from state written under a different
+        fingerprint — preventing a silent resume of stale state when a
+        job is re-run with changed inputs or parameters."""
         self.dir = os.path.join(root, name)
+        self.fingerprint = fingerprint
         os.makedirs(self.dir, exist_ok=True)
 
     def _step_path(self, step: int) -> str:
@@ -74,8 +81,11 @@ class CheckpointManager:
     def save(self, df: DataFrame, metrics: SuperstepMetrics) -> DataFrame:
         path = self._step_path(metrics.superstep)
         df.write.mode("overwrite").parquet(path)
+        payload = json.loads(metrics.to_json())
+        if self.fingerprint is not None:
+            payload["fingerprint"] = self.fingerprint
         with open(path + ".metrics.json", "w") as f:
-            f.write(metrics.to_json())
+            f.write(json.dumps(payload))
         return df.sparkSession.read.parquet(path)
 
     def latest(self) -> tuple[int, str] | None:
@@ -93,6 +103,15 @@ class CheckpointManager:
         if found is None:
             return None
         k, path = found
+        if self.fingerprint is not None:
+            with open(path + ".metrics.json") as f:
+                saved = json.load(f).get("fingerprint")
+            if saved is not None and saved != self.fingerprint:
+                raise ValueError(
+                    f"checkpoint {path} was written for a different "
+                    f"input/parameter fingerprint ({saved!r} != "
+                    f"{self.fingerprint!r}); clear() it or use a new job name"
+                )
         return k, spark.read.parquet(path)
 
     def clear(self):
