@@ -176,9 +176,10 @@ def ngram_jaccard_pairs(
 
 @pandas_udf(LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens; token hashes from md5 (first
-    16 hex chars).  Arrow-batched, numpy bit arithmetic — no per-row python
-    beyond hashlib on unique tokens."""
+    """Reference implementation of the 64-bit SimHash (python/numpy) —
+    kept ONLY as the cross-check oracle for tests; the production path is
+    the fully JVM-side ``simhash_signatures`` below, which computes
+    bit-identical signatures with no Python in the plan."""
     import hashlib
 
     import numpy as np
@@ -213,7 +214,42 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    """(doc_id, simhash long): 64-bit SimHash over whitespace tokens,
+    token hash = first 16 hex chars of md5 — entirely JVM-side expressions
+    (explode -> md5 -> per-bit vote sums in one hash aggregate), so the
+    whole plan stays inside whole-stage codegen with map-side partial
+    aggregation.  Bit-identical to ``simhash64_udf`` (tested) and to the
+    DuckDB oracle SQL.
+
+    Scale shape: |tokens| exploded rows, one groupBy(doc_id) with 64
+    algebraic sums — linear, skew-free (doc_id is unique), no Python."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h16 = F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 16)
+    parts = toks.select(
+        "doc_id",
+        F.conv(F.substring(h16, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h16, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    bit = lambda i: F.shiftright(
+        F.col("lo") if i < 32 else F.col("hi"), i % 32
+    ).bitwiseAND(F.lit(1))
+    votes = parts.groupBy("doc_id").agg(
+        *[F.sum(bit(i) * 2 - 1).alias(f"v{i}") for i in range(64)]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        weight = -(2**63) if i == 63 else (1 << i)
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(weight)).otherwise(F.lit(0))
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # token-free documents (empty/whitespace/null text) hash to 0
+    return (
+        docs.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
 
 
 def simhash_candidate_pairs(docs: DataFrame, bands: int = 4) -> DataFrame:

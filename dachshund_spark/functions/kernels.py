@@ -234,6 +234,67 @@ def strongly_connected_components(out_adj, in_adj):
     return components
 
 
+def tarjan_scc(out_adj):
+    """TRUE strongly connected components (iterative Tarjan) — the
+    correctness oracle for the distributed SCC operator.
+
+    Note [reference bug #3]: the reference's
+    get_strongly_connected_components (connected_components.rs:106-155,
+    ported faithfully above) pops nodes in ascending id order and adds
+    EVERY not-yet-claimed backward-reachable node to the popped node's
+    component — conflating "u can reach n" with "u strongly connected to
+    n".  On e.g. 5→6→7→5, 7→30, 30→1, 1⇄2 it returns {1,2,30,7,5,6} as
+    one component; the true SCCs are {1,2},{30},{5,6,7}.  The reference's
+    own tests (tests/karate_club.rs:645-684) only exercise inputs (DAG,
+    fully-symmetric, one min-id 3-cycle) where the shortcut happens to
+    coincide with the true answer.  Returns list of sorted node lists,
+    ordered by component min id."""
+    index = {}
+    lowlink = {}
+    on_stack = set()
+    stack = []
+    comps = []
+    counter = [0]
+    for root in sorted(out_adj):
+        if root in index:
+            continue
+        # iterative Tarjan: (node, iterator position) work stack
+        work = [(root, 0)]
+        while work:
+            n, pi = work.pop()
+            if pi == 0:
+                index[n] = lowlink[n] = counter[0]
+                counter[0] += 1
+                stack.append(n)
+                on_stack.add(n)
+            recurse = False
+            succ = sorted(out_adj.get(n, ()))
+            for i in range(pi, len(succ)):
+                m = succ[i]
+                if m not in index:
+                    work.append((n, i + 1))
+                    work.append((m, 0))
+                    recurse = True
+                    break
+                if m in on_stack:
+                    lowlink[n] = min(lowlink[n], index[m])
+            if recurse:
+                continue
+            if lowlink[n] == index[n]:
+                comp = []
+                while True:
+                    m = stack.pop()
+                    on_stack.discard(m)
+                    comp.append(m)
+                    if m == n:
+                        break
+                comps.append(sorted(comp))
+            if work:
+                parent = work[-1][0]
+                lowlink[parent] = min(lowlink[parent], lowlink[n])
+    return sorted(comps, key=min)
+
+
 def is_acyclic(out_adj):
     """Iterative sink-stripping (cf. simple_directed_graph.rs:25-43)."""
     leaves = set()

@@ -79,14 +79,56 @@ def cosine_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """recall@k of the LSH-bucketed path against the exact brute-force
+    baseline, per query: |topk_lsh ∩ topk_exact| / k.  The driver-gate
+    quality check for the approximate similarity path."""
+    exact = cosine_topk(embeddings, queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_bucketed_topk(
+        embeddings, queries, k, n_planes, n_tables, seed, dim
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int, table: int):
+    """The deterministic hyperplane matrix for one LSH table — shared by
+    the Spark UDF and the in-process kernel oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed * 1_000_003 + table)
+    return rng.standard_normal((dim, n_planes))
+
+
 def _bucket_udf(dim: int, n_planes: int, seed: int, table: int):
     @pandas_udf(LongType())
     def bucket(emb: pd.Series) -> pd.Series:
         import numpy as np
 
-        rng = np.random.default_rng(seed * 1_000_003 + table)
-        planes = rng.standard_normal((dim, n_planes))
-        mat = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        planes = lsh_planes(dim, n_planes, seed, table)
+        # one vectorized conversion of the whole Arrow batch — no per-row
+        # python: the list array flattens to a contiguous (n*dim) buffer
+        mat = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
         bits = (mat @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((bits @ weights).astype(np.int64))
@@ -101,11 +143,18 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of same-bucket candidates over
     ``n_tables`` hyperplane tables, exact cosine re-rank.  Deterministic
-    given the seed."""
-    dim = len(embeddings.select("embedding").first()[0])
+    given the seed.  This is the scale default for similarity search —
+    the bucket equi-join replaces ``cosine_topk``'s cross join; use
+    ``cosine_topk`` only as the verification baseline.
+
+    Pass ``dim`` explicitly at scale (it is schema metadata); the
+    ``.first()`` fallback is a convenience for ad-hoc use only."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     cand_frames = []
     for t in range(n_tables):
         udf = _bucket_udf(dim, n_planes, seed, t)

@@ -129,6 +129,109 @@ def weakly_connected_components(edges: DataFrame, **kwargs) -> DataFrame:
     return connected_components(edges, **kwargs)
 
 
+def _directed_min_labels(
+    edges: DataFrame, verts: DataFrame, max_iter: int
+) -> DataFrame:
+    """Hash-min label propagation along DIRECTED edges to fixpoint:
+    label(v) = min id over {v} ∪ {label(u) : u -> v} — i.e. the minimum
+    vertex id that can reach v.  Returns DataFrame[v, label].  One driver
+    action per superstep; lineage cut every 3."""
+    adj = edges.repartition("src").persist()
+    adj.count()
+    state = verts.select("v", F.col("v").alias("label")).persist()
+    state.count()
+    for i in range(max_iter):
+        msgs = adj.join(state, adj.src == state.v).select(
+            F.col("dst").alias("v"), "label"
+        )
+        best = msgs.groupBy("v").agg(F.min("label").alias("cand"))
+        new_state = state.join(best, "v", "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce("cand", F.col("label"))
+            ).alias("label"),
+            (F.coalesce("cand", F.col("label")) < F.col("label")).alias(
+                "chg"
+            ),
+        )
+        if (i + 1) % 3 == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+        agg = new_state.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]
+        state.unpersist()
+        state = new_state
+        if not agg["c"]:
+            break
+    out = state.select("v", "label")
+    adj.unpersist()
+    return out
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 50, max_iter: int = 100
+) -> DataFrame:
+    """Distributed SCC for the single-giant-digraph path — the scale
+    counterpart of the per-graph Tarjan kernel
+    (kernels.strongly_connected_components; reference:
+    connected_components.rs:106-155).
+
+    Forward/backward min-label peeling (Orzan-style coloring): per outer
+    round compute f(v) = min id that reaches v (hash-min propagation along
+    edges) and b(v) = min id v reaches (propagation along reversed edges)
+    over the still-unsettled subgraph.  Vertices with f(v) == b(v) == p
+    form exactly SCC(p) (p reaches v and v reaches p); settle them, peel,
+    repeat.  Every pivot that is the minimum of its own forward∩backward
+    closure settles per round, so rounds ≈ length of the longest
+    min-decreasing SCC chain, not #SCCs.  Labels are canonical min-ids.
+
+    Returns DataFrame[v, component]."""
+    spark = edges.sparkSession
+    cur = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    remaining = vertices(edges).localCheckpoint(eager=True)
+    results = []
+    n_left = remaining.count()
+    for _ in range(max_outer):
+        if n_left == 0:
+            break
+        fwd = _directed_min_labels(cur, remaining, max_iter)
+        bwd = _directed_min_labels(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            remaining,
+            max_iter,
+        )
+        joined = fwd.join(
+            bwd.withColumnRenamed("label", "blabel"), "v"
+        )
+        settled = joined.filter(F.col("label") == F.col("blabel")).select(
+            "v", F.col("label").alias("component")
+        ).localCheckpoint(eager=True)
+        results.append(settled)
+        remaining = remaining.join(settled, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_left = remaining.count()
+        done = settled.select("v")
+        cur = (
+            cur.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if n_left != 0:
+        raise RuntimeError(
+            f"strongly_connected_components: {n_left} vertices unsettled "
+            f"after {max_outer} rounds (raise max_outer)"
+        )
+    if not results:
+        return spark.createDataFrame([], "v long, component long")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
 def is_acyclic(edges: DataFrame, max_rounds: int = 100000) -> bool:
     """Distributed Kahn-style sink stripping (cf.
     simple_directed_graph.rs:25-43): repeatedly remove vertices with no

@@ -367,3 +367,25 @@ def test_graph_stats_featurizer():
     assert stats["num_16_cores"] == 0
     assert stats["num_17_trusses"] == 0
     assert 0 <= stats["clust_coef"] <= 1
+
+
+def test_tarjan_scc_vs_reference_port():
+    """tarjan_scc is the true-SCC oracle; on the reference's own test
+    shapes it matches the reference port, and on the bug-exposing shape
+    it differs exactly as documented (reference bug #3)."""
+    # DAG: every node its own SCC (reference test shape)
+    dag = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    out_adj, in_adj = K.build_directed_adj(dag)
+    assert K.tarjan_scc(out_adj) == [[1], [2], [3], [4]]
+    assert len(K.strongly_connected_components(out_adj, in_adj)) == 4
+    # fully symmetric: one SCC (reference test shape)
+    both = dag + [(v, u) for u, v in dag]
+    out_adj, in_adj = K.build_directed_adj(both)
+    assert K.tarjan_scc(out_adj) == [[1, 2, 3, 4]]
+    assert len(K.strongly_connected_components(out_adj, in_adj)) == 1
+    # the shape where the reference's shortcut is wrong
+    bug = [(5, 6), (6, 7), (7, 5), (7, 30), (30, 1), (1, 2), (2, 1)]
+    out_adj, in_adj = K.build_directed_adj(bug)
+    assert K.tarjan_scc(out_adj) == [[1, 2], [5, 6, 7], [30]]
+    ref = K.strongly_connected_components(out_adj, in_adj)
+    assert sorted(ref[0]) == [1, 2, 5, 6, 7, 30]  # reference merges all

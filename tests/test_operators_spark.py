@@ -249,3 +249,39 @@ def test_distributed_acyclicity_and_wcc(spark):
     assert not dist_is_acyclic(B.edges_df(spark, both))
     wcc = weakly_connected_components(B.edges_df(spark, KARATE_CLUB_EDGES))
     assert wcc.select("component").distinct().count() == 1
+
+
+def test_distributed_scc(spark):
+    """FB-min-label distributed SCC must match the Tarjan kernel on
+    digraphs of several shapes: disjoint cycles, cycles bridged by paths,
+    a DAG (all-singleton), and a seeded random digraph."""
+    from dachshund_spark.operators.components import (
+        strongly_connected_components as dist_scc,
+    )
+    import random
+
+    def kernel_labels(edge_list):
+        out_adj, _ = K.build_directed_adj(edge_list)
+        comps = K.tarjan_scc(out_adj)
+        return {n: min(c) for c in comps for n in c}
+
+    shapes = []
+    # two disjoint cycles + a path
+    shapes.append([(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (20, 21), (21, 22)])
+    # two cycles bridged by a directed path (distinct SCCs, chained mins)
+    shapes.append([(5, 6), (6, 7), (7, 5), (7, 30), (30, 1), (1, 2), (2, 1)])
+    # a DAG — every vertex its own SCC
+    shapes.append([(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+    # seeded random digraph
+    rng = random.Random(7)
+    shapes.append(
+        list({(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(80)})
+    )
+
+    for edge_list in shapes:
+        edge_list = [(u, v) for u, v in edge_list if u != v]
+        got = {
+            r["v"]: r["component"]
+            for r in dist_scc(B.edges_df(spark, edge_list), max_outer=60).collect()
+        }
+        assert got == kernel_labels(edge_list)

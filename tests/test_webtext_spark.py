@@ -136,6 +136,28 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 2) in jac and jac[(1, 2)] > 0.7
 
 
+def test_simhash_jvm_matches_reference_udf(spark):
+    """The JVM-expression simhash must be bit-identical to the python
+    reference UDF on real documents plus degenerate rows."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, None), (100004, "one")],
+        "doc_id long, text string",
+    )
+    both = docs.union(extra)
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(both).collect()}
+    ref = {
+        r["doc_id"]: r["ref"]
+        for r in both.select(
+            "doc_id", D.simhash64_udf(F.col("text")).alias("ref")
+        ).collect()
+    }
+    assert got == ref
+    assert got[100001] == got[100002] == got[100003] == 0
+
+
 def test_simhash(spark):
     df = spark.createDataFrame(
         [
