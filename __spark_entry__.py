@@ -60,6 +60,98 @@ def event_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain.filter(F.col("dst").isNotNull())
 
 
+# CP_SMALL — co-purchase subgraph with both endpoints <= 500: the fixture
+# for the O(VE)-ish exact operators (betweenness, trusses, eigencentrality)
+CP_SMALL_MAX = 500
+
+
+def cp_small_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copurchase_edges(spark, sf_dir)
+    return e.filter(
+        (F.col("src") <= CP_SMALL_MAX) & (F.col("dst") <= CP_SMALL_MAX)
+    )
+
+
+def wcp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-purchase subgraph: weight = number of distinct orders
+    containing both parts (both endpoints <= 500)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .filter(
+            (F.col("a.l_partkey") <= CP_SMALL_MAX)
+            & (F.col("b.l_partkey") <= CP_SMALL_MAX)
+        )
+        .groupBy(
+            F.least("a.l_partkey", "b.l_partkey").alias("src"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("dst"),
+        )
+        .agg(
+            F.count_distinct(F.col("a.l_orderkey")).cast("double").alias("weight")
+        )
+    )
+
+
+def event_cyc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed digraph fixture with non-trivial SCC structure: the event
+    chains, plus a back-edge (last -> first event) per (user, day) chain
+    of length >= 2 for EVEN user ids — even-user chains become cycles
+    (one SCC each), odd-user chains stay paths (singleton SCCs)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("day"), "ts"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id", "day")
+    o = ev.select(
+        "event_id", "user_id", "day",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("c"),
+    )
+    fwd = event_chain_edges(spark, sf_dir)
+    last = o.filter(
+        (F.col("rn") == F.col("c"))
+        & (F.col("c") >= 2)
+        & (F.pmod("user_id", F.lit(2)) == 0)
+    ).select("user_id", "day", F.col("event_id").alias("src"))
+    first = o.filter(F.col("rn") == 1).select(
+        "user_id", "day", F.col("event_id").alias("dst")
+    )
+    back = last.join(first, ["user_id", "day"]).select("src", "dst")
+    return fwd.union(back)
+
+
+def user_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(graph_id, src, dst): each user's in-day event-succession graph."""
+    edges = event_chain_edges(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("src"), F.col("user_id").alias("graph_id")
+    )
+    return edges.join(ev, "src").select("graph_id", "src", "dst")
+
+
+def user_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(graph_id, src, dst, weight): weight = seconds between the two
+    events of each succession edge."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("day"), "ts"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    chain = ev.select(
+        F.col("user_id").alias("graph_id"),
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("sts"),
+        F.lead(F.unix_millis(F.col("ts").cast("timestamp"))).over(w).alias("dts"),
+    )
+    return chain.filter(F.col("dst").isNotNull()).select(
+        "graph_id", "src", "dst",
+        ((F.col("dts") - F.col("sts")) / 1000.0).alias("weight"),
+    )
+
+
 _CP_SQL = """
 edges AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
@@ -239,11 +331,192 @@ def _q_label_propagation(spark, sf_dir):
 
 
 def _q_coreness(spark, sf_dir):
-    # iterative peeling to fixpoint — not SQL-expressible; rows-only check
-    # (golden-tested against the kernel oracle in tests/)
+    # iterative peeling to fixpoint — hash-checked against the pure-python
+    # kernel oracle (dachshund_spark.oracles.ora_coreness)
     from dachshund_spark.operators.coreness import coreness
 
     return coreness(copurchase_edges(spark, sf_dir))
+
+
+def _q_k_core_components_k60(spark, sf_dir):
+    from dachshund_spark.operators.coreness import k_core_components
+
+    return k_core_components(copurchase_edges(spark, sf_dir), 60)
+
+
+def _q_k_core_components_k80(spark, sf_dir):
+    from dachshund_spark.operators.coreness import k_core_components
+
+    return k_core_components(copurchase_edges(spark, sf_dir), 80)
+
+
+def _q_k_truss_edges_k4(spark, sf_dir):
+    from dachshund_spark.operators.coreness import k_truss_edges
+
+    return k_truss_edges(cp_small_edges(spark, sf_dir), 4)
+
+
+def _q_min_degree_prune_k16(spark, sf_dir):
+    from dachshund_spark.operators.builders import min_degree_prune
+
+    return min_degree_prune(cp_small_edges(spark, sf_dir), 16)
+
+
+def _q_betweenness_sampled(spark, sf_dir):
+    from dachshund_spark.operators.centrality import betweenness
+
+    bet = betweenness(
+        copurchase_edges(spark, sf_dir), max_sources=100, seed=0
+    )
+    return bet.select("v", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_betweenness_exact(spark, sf_dir):
+    from dachshund_spark.operators.centrality import betweenness
+
+    bet = betweenness(cp_small_edges(spark, sf_dir), max_sources=None)
+    return bet.select("v", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_eigenvector_centrality(spark, sf_dir):
+    from dachshund_spark.operators.centrality import eigenvector_centrality
+
+    ev = eigenvector_centrality(
+        cp_small_edges(spark, sf_dir), eps=0.0, max_iter=20
+    )
+    return ev.select("v", F.round("evcent", 6).alias("evcent"))
+
+
+def _q_coreness_anomaly(spark, sf_dir):
+    from dachshund_spark.operators.coreness import coreness_anomaly
+
+    a = coreness_anomaly(copurchase_edges(spark, sf_dir))
+    return a.select("v", F.round("anomaly", 6).alias("anomaly"))
+
+
+def _q_weighted_coreness(spark, sf_dir):
+    from dachshund_spark.operators.coreness import weighted_coreness
+
+    wc = weighted_coreness(wcp_edges(spark, sf_dir))
+    return wc.select("v", F.round("coreness", 6).alias("coreness"))
+
+
+def _q_scc(spark, sf_dir):
+    from dachshund_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        event_cyc_edges(spark, sf_dir), max_outer=60
+    )
+
+
+def _q_wcc_digraph(spark, sf_dir):
+    from dachshund_spark.operators.components import (
+        weakly_connected_components,
+    )
+
+    return weakly_connected_components(
+        event_cyc_edges(spark, sf_dir), max_iter=50
+    )
+
+
+def _q_is_acyclic(spark, sf_dir):
+    from dachshund_spark.operators.components import is_acyclic
+
+    rows = [
+        ("event_chain", is_acyclic(event_chain_edges(spark, sf_dir))),
+        ("event_chain_cyc", is_acyclic(event_cyc_edges(spark, sf_dir))),
+    ]
+    return spark.createDataFrame(rows, "graph string, acyclic boolean")
+
+
+def _q_cc_twophase(spark, sf_dir):
+    from dachshund_spark.operators.components import (
+        connected_components_two_phase,
+    )
+
+    return connected_components_two_phase(event_chain_edges(spark, sf_dir))
+
+
+def _q_shortest_path_dag(spark, sf_dir):
+    from dachshund_spark.operators.builders import canonical_undirected
+    from dachshund_spark.operators.paths import shortest_path_dag
+
+    edges = canonical_undirected(cp_small_edges(spark, sf_dir))
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return shortest_path_dag(edges, source)
+
+
+def _q_core_assignments_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import core_assignments_per_graph
+
+    return core_assignments_per_graph(user_graph_edges(spark, sf_dir))
+
+
+def _q_kpeaks_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import kpeak_miner
+
+    return kpeak_miner(user_graph_edges(spark, sf_dir))
+
+
+def _q_cnm_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import cnm_communities_per_graph
+
+    return cnm_communities_per_graph(user_graph_edges(spark, sf_dir))
+
+
+def _q_brokerage_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import (
+        ModMembership,
+        brokerage_per_graph,
+    )
+
+    return brokerage_per_graph(
+        user_graph_edges(spark, sf_dir), ModMembership(4)
+    )
+
+
+def _q_weighted_core_miner_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import weighted_core_miner
+
+    return weighted_core_miner(user_weighted_edges(spark, sf_dir))
+
+
+def _q_ann_recall(spark, sf_dir):
+    from dachshund_spark.functions.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_recall(emb, queries, k=10, n_planes=8, n_tables=4, seed=42)
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    from dachshund_spark.functions.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 3000, seed=42)
+    return frame_sample_plan(media, fps=2.0)
+
+
+def _q_media_feature_stats(spark, sf_dir):
+    from dachshund_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 500, seed=42)
+    feats = extract_features(media, dim=8, deterministic_fake=True)
+    mean = F.aggregate(
+        F.col("feature").cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.lit(8.0)
+    return feats.select(
+        "media_id", "kind", F.round(mean, 5).alias("feat_mean")
+    )
 
 
 def _q_bfs(spark, sf_dir):
@@ -304,35 +577,26 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    # pandas-UDF bit arithmetic — no SQL mirror; rows-only check
+    # JVM-side bit arithmetic with a full DuckDB SQL mirror (hash-checked)
     from dachshund_spark.functions.dedup import simhash_signatures
 
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
 def _q_featurizer_per_user(spark, sf_dir):
-    # simple_graph_featurizer over each user's event-succession graph
-    # (per-graph exact kernel; golden-tested in tests/ — rows-only here)
+    # simple_graph_featurizer over each user's event-succession graph,
+    # hash-checked against the kernel oracle
     from dachshund_spark.operators.pergraph import featurize
 
-    edges = event_chain_edges(spark, sf_dir)
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").alias("src"), F.col("user_id").alias("graph_id")
-    )
-    g = edges.join(ev, "src").select("graph_id", "src", "dst")
-    return featurize(g)
+    return featurize(user_graph_edges(spark, sf_dir))
 
 
 def _q_core_miner_per_user(spark, sf_dir):
-    # core_miner output (coreness, degree, anomaly) per user graph
+    # core_miner output (coreness, degree, anomaly) per user graph,
+    # hash-checked against the kernel oracle
     from dachshund_spark.operators.pergraph import core_miner
 
-    edges = event_chain_edges(spark, sf_dir)
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").alias("src"), F.col("user_id").alias("graph_id")
-    )
-    g = edges.join(ev, "src").select("graph_id", "src", "dst")
-    return core_miner(g)
+    return core_miner(user_graph_edges(spark, sf_dir))
 
 
 def _q_clique_miner(spark, sf_dir):
@@ -415,6 +679,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_csr_5iter": _q_pagerank_csr,
         "graph_label_propagation_2iter": _q_label_propagation,
         "graph_coreness": _q_coreness,
+        "graph_k_core_components_k60": _q_k_core_components_k60,
+        "graph_k_core_components_k80": _q_k_core_components_k80,
+        "graph_k_truss_edges_k4": _q_k_truss_edges_k4,
+        "graph_min_degree_prune_k16": _q_min_degree_prune_k16,
+        "graph_betweenness_sampled": _q_betweenness_sampled,
+        "graph_betweenness_exact": _q_betweenness_exact,
+        "graph_eigenvector_centrality": _q_eigenvector_centrality,
+        "graph_coreness_anomaly": _q_coreness_anomaly,
+        "graph_weighted_coreness": _q_weighted_coreness,
+        "graph_scc": _q_scc,
+        "graph_wcc_digraph": _q_wcc_digraph,
+        "graph_is_acyclic": _q_is_acyclic,
+        "graph_cc_twophase": _q_cc_twophase,
+        "graph_shortest_path_dag": _q_shortest_path_dag,
+        "graph_core_assignments_per_user": _q_core_assignments_per_user,
+        "graph_kpeaks_per_user": _q_kpeaks_per_user,
+        "graph_cnm_per_user": _q_cnm_per_user,
+        "graph_brokerage_per_user": _q_brokerage_per_user,
+        "graph_weighted_core_miner_per_user": _q_weighted_core_miner_per_user,
+        "emb_ann_recall": _q_ann_recall,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_feature_stats": _q_media_feature_stats,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
         "doc_quality_scores": _q_quality,
@@ -446,6 +732,76 @@ _LANG_MARKERS_SQL = {
 }
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# CP_SMALL (both part keys <= 500) derivation for the exact/expensive ops
+_CPS_SQL = """
+edges AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                  greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey <= 500 AND b.l_partkey <= 500
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM sym)
+"""
+
+# event digraph with per-chain back-edges for even users (see
+# event_cyc_edges) — shared by the SCC / WCC / acyclicity oracles
+_EVC_SQL = """
+ev AS (
+  SELECT event_id, user_id, date_trunc('day', ts) AS day, ts FROM events
+),
+o AS (
+  SELECT event_id, user_id, day,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, day) AS c
+  FROM ev
+),
+fwd AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS dst
+    FROM ev
+  ) WHERE dst IS NOT NULL
+),
+grp AS (
+  SELECT user_id, day, min(event_id) AS m, count(*) AS c
+  FROM ev GROUP BY user_id, day
+)
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    bit = (
+        lambda i: f"(CAST(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 AS BIGINT))"
+    )
+    votes = ", ".join(f"sum({bit(i)} * 2 - 1) AS v{i}" for i in range(64))
+    terms = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if i == 63 else str(1 << i))
+        + " ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::UBIGINT AS hi,
+         ('0x' || substring(md5(tok), 9, 8))::UBIGINT AS lo
+  FROM toks WHERE tok <> ''
+),
+votes AS (SELECT doc_id, {votes} FROM parts GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sigs s USING (doc_id)"""
+
 
 _SHINGLE_SQL = f"""
 docs_n AS (
@@ -672,4 +1028,90 @@ SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
+
+    # -- pure-SQL oracles for the round-2 operators ------------------------
+    sql["doc_simhash"] = _simhash_oracle_sql()
+    sql["graph_scc"] = f"""
+WITH {_EVC_SQL}
+SELECT e.event_id AS v,
+       CASE WHEN e.user_id % 2 = 0 THEN g.m ELSE e.event_id END AS component
+FROM ev e JOIN grp g ON e.user_id = g.user_id AND e.day = g.day
+WHERE g.c >= 2"""
+    sql["graph_wcc_digraph"] = f"""
+WITH {_EVC_SQL}
+SELECT e.event_id AS v, g.m AS component
+FROM ev e JOIN grp g ON e.user_id = g.user_id AND e.day = g.day
+WHERE g.c >= 2"""
+    # acyclicity witnesses computed from the data: the chain digraph is
+    # acyclic iff every edge strictly increases (ts, event_id) (a
+    # topological order); the cyc variant has a cycle iff any even-user
+    # chain of length >= 2 exists (those get a back-edge)
+    sql["graph_is_acyclic"] = f"""
+WITH {_EVC_SQL}
+SELECT 'event_chain' AS graph,
+       (SELECT coalesce(bool_and((d.ts, d.event_id) > (s.ts, s.event_id)), TRUE)
+        FROM fwd JOIN ev s ON fwd.src = s.event_id
+                 JOIN ev d ON fwd.dst = d.event_id) AS acyclic
+UNION ALL
+SELECT 'event_chain_cyc',
+       NOT EXISTS (SELECT 1 FROM o WHERE c >= 2 AND user_id % 2 = 0)"""
+    # two-phase CC computes the same min-id components as hash-min LP
+    sql["graph_cc_twophase"] = sql["graph_connected_components_paths"]
+    sql["graph_shortest_path_dag"] = f"""
+WITH RECURSIVE {_CPS_SQL},
+bfs(v, dist) AS (
+  SELECT (SELECT min(src) FROM edges), 0
+  UNION
+  SELECT sym.dst, bfs.dist + 1 FROM bfs JOIN sym ON sym.src = bfs.v
+  WHERE bfs.dist < 15
+),
+d AS (SELECT v, min(dist) AS dd FROM bfs GROUP BY v)
+SELECT s.dst AS v, s.src AS parent
+FROM sym s JOIN d du ON s.src = du.v JOIN d dv ON s.dst = dv.v
+WHERE du.dd + 1 = dv.dd
+UNION ALL
+SELECT (SELECT min(src) FROM edges), (SELECT min(src) FROM edges)"""
+    sql["media_frame_sample"] = """
+WITH m AS (
+  SELECT i AS media_id, (i * 97) % 60000 + 1000 AS duration_ms
+  FROM range(3000) t(i) WHERE i % 3 = 2
+),
+f AS (
+  SELECT media_id, duration_ms,
+         greatest(CAST(floor(duration_ms / 1000.0 * 2.0) AS INT), 1) AS n_frames
+  FROM m
+)
+SELECT media_id,
+       unnest(range(n_frames)) AS frame_idx,
+       duration_ms / n_frames AS frame_interval_ms
+FROM f"""
+
+    # -- kernel oracles: expected outputs computed in-process by the
+    # pure-python kernels on identically derived inputs, materialized as
+    # VALUES literals (see dachshund_spark/oracles.py for the rationale)
+    from dachshund_spark import oracles as O
+
+    d = O.sf_dir()
+    sql["graph_coreness"] = O.ora_coreness(d)
+    sql["graph_k_core_components_k60"] = O.ora_k_core_components(d, 60)
+    sql["graph_k_core_components_k80"] = O.ora_k_core_components(d, 80)
+    sql["graph_k_truss_edges_k4"] = O.ora_k_truss_edges(d, 4)
+    sql["graph_min_degree_prune_k16"] = O.ora_min_degree_prune(d, 16)
+    sql["graph_betweenness_sampled"] = O.ora_betweenness_sampled(d)
+    sql["graph_betweenness_exact"] = O.ora_betweenness_exact(d)
+    sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
+    sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
+    sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)
+    sql["graph_core_assignments_per_user"] = O.ora_core_assignments_per_user(d)
+    sql["graph_kpeaks_per_user"] = O.ora_kpeaks_per_user(d)
+    sql["graph_cnm_per_user"] = O.ora_cnm_per_user(d)
+    sql["graph_brokerage_per_user"] = O.ora_brokerage_per_user(d)
+    sql["graph_weighted_core_miner_per_user"] = (
+        O.ora_weighted_core_miner_per_user(d)
+    )
+    sql["graph_featurizer_per_user"] = O.ora_featurizer_per_user(d)
+    sql["graph_core_miner_per_user"] = O.ora_core_miner_per_user(d)
+    sql["graph_clique_miner"] = O.ora_clique_miner(d)
+    sql["emb_ann_recall"] = O.ora_ann_recall(d)
+    sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     return sql

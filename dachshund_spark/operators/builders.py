@@ -116,11 +116,12 @@ def min_degree_prune(edges: DataFrame, min_degree: int, max_iter: int = 100) -> 
         if n_bad == 0:
             bad.unpersist()
             break
-        nxt = (
+        from ..plans.superstep import cut_lineage
+
+        nxt = cut_lineage(
             cur.join(bad, cur.src == bad.v, "left_anti")
             .join(bad, cur.dst == bad.v, "left_anti")
             # lineage cut — the plan otherwise grows ~3x per round
-            .localCheckpoint(eager=True)
         )
         cur.unpersist()
         bad.unpersist()

@@ -40,13 +40,16 @@ def mine_cliques(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         gid = int(pdf[graph_col].iloc[0])
-        rows = [
+        # canonical row order: the beam search breaks score ties by
+        # insertion-order-dependent structures, so the arriving shuffle
+        # order must not leak into the result
+        rows = sorted(
             (int(c), int(nc), str(et), str(nct))
             for c, nc, et, nct in zip(
                 pdf["core_id"], pdf["non_core_id"],
                 pdf["edge_type"], pdf["non_core_type"],
             )
-        ]
+        )
         empty = pd.DataFrame(
             columns=[
                 graph_col, "num_core", "num_non_core", "core_ids",

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.superstep import CheckpointManager, SuperstepResult, iterate
+from ..plans.superstep import (
+    CheckpointManager,
+    SuperstepResult,
+    cut_lineage,
+    iterate,
+)
 from .builders import symmetrized, vertices
 
 
@@ -78,7 +83,7 @@ def connected_components(
             F.sum(F.col("active").cast("long")).alias("changed"),
             F.count("*").alias("rows"),
         ).collect()[0]
-        return new_state, float(agg["changed"]), int(agg["rows"])
+        return new_state, float(agg["changed"] or 0), int(agg["rows"])
 
     result = iterate(
         state0,
@@ -129,6 +134,75 @@ def weakly_connected_components(edges: DataFrame, **kwargs) -> DataFrame:
     return connected_components(edges, **kwargs)
 
 
+def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star rewrite (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', two-phase algorithm).
+
+    For each node u with neighborhood Γ(u) and m = min({u} ∪ Γ(u)):
+    large-star links every strictly-larger neighbor v > u to m;
+    small-star links every v <= u (and u itself) to m."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+    j = sym.join(m, "src")
+    if large:
+        out = j.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = j.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(m.select("src", F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_two_phase(
+    edges: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    O(log n)-round alternative to hash-min label propagation for graphs
+    whose DIAMETER is large (hash-min needs diameter supersteps; a 10k-hop
+    path needs 10k of them, but only ~log rounds here).  Same output
+    contract as ``connected_components``: DataFrame[v, component], with
+    component = min vertex id.
+
+    Use this when the component structure is path/tree-shaped or unknown;
+    hash-min with its decaying frontier wins on low-diameter web graphs."""
+    verts = cut_lineage(vertices(edges))
+    cur = cut_lineage(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _star_phase(cur, large=True)
+        # inner-join loop -> stats-resetting cut required (cut_lineage doc)
+        cur = cut_lineage(_star_phase(cur, large=False))
+        # checksum folded into [0, 2^31) before the sum so ANSI long
+        # arithmetic cannot overflow (n * 2^31 << 2^63)
+        agg = cur.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 31))).alias("h"),
+        ).collect()[0]
+        sig = (agg["n"], agg["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("two-phase CC did not converge")
+    # at the fixpoint every edge is (v, component-min); roots carry no edge
+    star = cur.select(F.col("src").alias("v"), F.col("dst").alias("component"))
+    return verts.join(star, "v", "left").select(
+        "v", F.coalesce("component", F.col("v")).alias("component")
+    )
+
+
 def _directed_min_labels(
     edges: DataFrame, verts: DataFrame, max_iter: int
 ) -> DataFrame:
@@ -155,7 +229,7 @@ def _directed_min_labels(
             ),
         )
         if (i + 1) % 3 == 0:
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = cut_lineage(new_state)
         else:
             new_state = new_state.persist()
         agg = new_state.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]
@@ -187,10 +261,10 @@ def strongly_connected_components(
 
     Returns DataFrame[v, component]."""
     spark = edges.sparkSession
-    cur = edges.select("src", "dst").filter(
-        F.col("src") != F.col("dst")
-    ).distinct().localCheckpoint(eager=True)
-    remaining = vertices(edges).localCheckpoint(eager=True)
+    cur = cut_lineage(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    )
+    remaining = cut_lineage(vertices(edges))
     results = []
     n_left = remaining.count()
     for _ in range(max_outer):
@@ -205,19 +279,18 @@ def strongly_connected_components(
         joined = fwd.join(
             bwd.withColumnRenamed("label", "blabel"), "v"
         )
-        settled = joined.filter(F.col("label") == F.col("blabel")).select(
-            "v", F.col("label").alias("component")
-        ).localCheckpoint(eager=True)
-        results.append(settled)
-        remaining = remaining.join(settled, "v", "left_anti").localCheckpoint(
-            eager=True
+        settled = cut_lineage(
+            joined.filter(F.col("label") == F.col("blabel")).select(
+                "v", F.col("label").alias("component")
+            )
         )
+        results.append(settled)
+        remaining = cut_lineage(remaining.join(settled, "v", "left_anti"))
         n_left = remaining.count()
         done = settled.select("v")
-        cur = (
+        cur = cut_lineage(
             cur.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
-            .localCheckpoint(eager=True)
         )
     if n_left != 0:
         raise RuntimeError(
@@ -236,7 +309,7 @@ def is_acyclic(edges: DataFrame, max_rounds: int = 100000) -> bool:
     """Distributed Kahn-style sink stripping (cf.
     simple_directed_graph.rs:25-43): repeatedly remove vertices with no
     remaining out-edges; acyclic iff the edge set empties."""
-    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    cur = cut_lineage(edges.select("src", "dst").distinct())
     for _ in range(max_rounds):
         n = cur.count()
         if n == 0:
@@ -244,9 +317,9 @@ def is_acyclic(edges: DataFrame, max_rounds: int = 100000) -> bool:
         # vertices that still have out-edges
         has_out = cur.select(F.col("src").alias("v")).distinct()
         # keep only edges whose dst still has out-edges (dst is not a sink)
-        nxt = cur.join(
-            has_out.withColumnRenamed("v", "dst"), "dst", "left_semi"
-        ).localCheckpoint(eager=True)
+        nxt = cut_lineage(
+            cur.join(has_out.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        )
         if nxt.count() == n:
             return False  # no sink removed: a cycle remains
         cur = nxt

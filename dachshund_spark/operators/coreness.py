@@ -17,9 +17,10 @@ shrinking edge set each round (it shrinks geometrically in practice).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.superstep import cut_lineage
 from .builders import canonical_undirected, symmetrized, vertices
 from .components import connected_components
 
@@ -39,14 +40,13 @@ def k_core_vertices(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFra
         if bad.count() == 0:
             bad.unpersist()
             break
-        nxt = (
+        nxt = cut_lineage(
             sym.join(bad.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(bad.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
-            # localCheckpoint truncates lineage: each round references the
-            # previous edge set three times, so without a cut the logical
-            # plan grows ~3x per round
-            .localCheckpoint(eager=True)
+            # the cut truncates lineage AND resets inherited stats: each
+            # round references the previous edge set three times, so
+            # without it the logical plan grows ~3x per round
         )
         sym.unpersist()
         bad.unpersist()
@@ -58,13 +58,16 @@ def k_core_vertices(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFra
 def k_core_components(edges: DataFrame, k: int) -> DataFrame:
     """Connected components of the k-core — DataFrame[v, component]
     (≡ reference get_k_cores output granularity, coreness.rs:55-58)."""
-    core_verts = k_core_vertices(edges, k)
+    spark = edges.sparkSession
+    core_verts = cut_lineage(k_core_vertices(edges, k))
     canon = canonical_undirected(edges)
     core_edges = (
         canon.join(core_verts.withColumnRenamed("v", "src"), "src")
         .join(core_verts.withColumnRenamed("v", "dst"), "dst")
         .select("src", "dst")
     )
+    if core_verts.limit(1).count() == 0:
+        return spark.createDataFrame([], "v long, component long")
     return connected_components(core_edges)
 
 
@@ -83,7 +86,7 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     # the remaining-vertex set is tracked explicitly: a vertex whose
     # neighbors are all peeled in one round becomes isolated (degree 0)
     # and must still be assigned the current shell value
-    remaining = vertices(sym).localCheckpoint(eager=True)
+    remaining = cut_lineage(vertices(sym))
     results = []
     k = 0
     for _ in range(max_rounds):
@@ -102,20 +105,15 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         k = max(k, int(agg["min_deg"]))
         # the argmin vertex has degree == min_deg <= k, so the peel set is
         # never empty — no separate count action needed
-        peel = deg.filter(F.col("degree") <= k).select("v").localCheckpoint(
-            eager=True
-        )
+        peel = cut_lineage(deg.filter(F.col("degree") <= k).select("v"))
         deg.unpersist()
         results.append(peel.select("v", F.lit(k).alias("coreness")))
-        remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
-            eager=True
-        )
-        nxt = (
+        remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
+        nxt = cut_lineage(
             sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
             # lineage cut: see k_core_vertices
-            .localCheckpoint(eager=True)
         )
         sym.unpersist()
         sym = nxt
@@ -147,7 +145,7 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         )
     ).persist()
     sym.count()
-    remaining = vertices(sym.select("src", "dst")).localCheckpoint(eager=True)
+    remaining = cut_lineage(vertices(sym.select("src", "dst")))
     results = []
     shell = float("-inf")
     for _ in range(max_rounds):
@@ -163,19 +161,14 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
             w.unpersist()
             break
         shell = max(shell, float(agg["min_w"]))
-        peel = w.filter(F.col("w") <= shell).select("v").localCheckpoint(
-            eager=True
-        )
+        peel = cut_lineage(w.filter(F.col("w") <= shell).select("v"))
         w.unpersist()
         results.append(peel.select("v", F.lit(shell).alias("coreness")))
-        remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
-            eager=True
-        )
-        nxt = (
+        remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
+        nxt = cut_lineage(
             sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
         )
         sym.unpersist()
         sym = nxt
@@ -186,6 +179,50 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     for r in results[1:]:
         out = out.union(r)
     return out
+
+
+def averaged_ties_rank(
+    scores: DataFrame, score_col: str, rank_col: str = "rank"
+) -> DataFrame:
+    """Descending ranks with ties sharing the averaged rank — the
+    distributed form of kernels.averaged_ties_ranking (coreness.rs:319-349).
+
+    Scale shape: one groupBy over DISTINCT score values (small domain for
+    coreness/degree scores), a window over that tiny distinct-score table,
+    then a broadcast join back — no global sort of the full vertex table.
+    avg rank of a tie group = (#higher) + (size + 1) / 2.
+    """
+    counts = scores.groupBy(score_col).agg(F.count("*").alias("_n"))
+    w = (
+        Window.orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = counts.select(
+        score_col,
+        (
+            F.coalesce(F.sum("_n").over(w), F.lit(0))
+            + (F.col("_n") + 1) / 2.0
+        ).alias(rank_col),
+    )
+    return scores.join(F.broadcast(ranked), score_col)
+
+
+def coreness_anomaly(edges: DataFrame) -> DataFrame:
+    """Core-A anomaly score |ln(rank_by_coreness) - ln(rank_by_degree)|
+    per vertex (coreness.rs:163-181) — distributed composition of the
+    coreness peel, the degree aggregate, and two averaged-ties rankings.
+    Returns DataFrame[v, anomaly]."""
+    from .builders import degrees
+
+    core = coreness(edges)
+    deg = degrees(edges)
+    cr = averaged_ties_rank(core, "coreness", "core_rank").select(
+        "v", "core_rank"
+    )
+    dr = averaged_ties_rank(deg, "degree", "deg_rank").select("v", "deg_rank")
+    return cr.join(dr, "v").select(
+        "v", F.abs(F.log("core_rank") - F.log("deg_rank")).alias("anomaly")
+    )
 
 
 def k_truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
@@ -224,7 +261,10 @@ def k_truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             F.col("u").alias("src"), F.col("w").alias("dst")
         )
         n_old = canon.count()
-        nxt = canon.join(keep, ["src", "dst"]).localCheckpoint(eager=True)
+        # inner-join loop: the stats-resetting cut is ESSENTIAL here (see
+        # plans.superstep.cut_lineage — plain localCheckpoint compounds
+        # size estimates geometrically and stalls Catalyst by round ~15)
+        nxt = cut_lineage(canon.join(keep, ["src", "dst"]))
         n_new = nxt.count()
         canon.unpersist()
         canon = nxt

@@ -41,7 +41,9 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
         # grows linearly with graph diameter (and replays in full on a
         # lost partition) — same discipline as plans/superstep.py
         if depth % 8 == 0:
-            new_dist = new_dist.localCheckpoint(eager=True)
+            from ..plans.superstep import cut_lineage
+
+            new_dist = cut_lineage(new_dist)
         else:
             new_dist = new_dist.persist()
             new_dist.count()

@@ -148,6 +148,46 @@ def kpeak_miner(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
     )
 
 
+def core_assignments_per_graph(
+    edges: DataFrame, graph_col: str = GRAPH_COL
+) -> DataFrame:
+    """Per-coreness-level CC decomposition per graph (coreness.rs:82-104):
+    for each level k >= 1, the connected components of the subgraph induced
+    by vertices of coreness >= k.  One row per (level, node); component is
+    labeled by its min node id (canonical relabeling of the kernel's list
+    index)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        levels = K.core_assignments(adj)
+        recs = []
+        for lvl, comps in enumerate(levels, start=1):
+            for comp in comps:
+                m = min(comp)
+                for n in sorted(comp):
+                    recs.append((gid, lvl, n, m))
+        return pd.DataFrame(
+            recs, columns=[graph_col, "level", "node", "component"]
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn, f"{graph_col} long, level int, node long, component long"
+    )
+
+
+class ModMembership:
+    """Deterministic node->community map (node % k) — a picklable
+    dict-like for brokerage queries when no community assignment is
+    supplied upstream."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __getitem__(self, node):
+        return int(node) % self.k
+
+
 def connected_components_per_graph(
     edges: DataFrame, graph_col: str = GRAPH_COL
 ) -> DataFrame:

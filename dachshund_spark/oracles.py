@@ -1,0 +1,575 @@
+"""Kernel-oracle SQL generation for the driver correctness gate.
+
+The driver compares each ``queries()`` entry (Spark) against
+``oracle_sql()`` (DuckDB) at sf=0.01.  Set-based operators get genuine
+independent SQL oracles.  For iterative / priority-queue operators that
+set-based SQL cannot express (coreness peeling, k-trusses, Brandes
+betweenness, CNM, beam search, ...), the oracle is the pure-Python KERNEL
+(``functions/kernels.py`` / ``functions/clique_kernel.py``): an
+independent sequential implementation of the reference's algorithms,
+itself pinned to the reference's golden unit-test values in ``tests/``.
+
+This module runs those kernels in-process on the SAME deterministically
+derived inputs — read straight from the parquet tables with DuckDB, using
+the identical derivation SQL the set-based oracles use — and materializes
+the expected output as a ``SELECT ... FROM (VALUES ...)`` literal for the
+driver's DuckDB side.  The distributed Spark operator is the system under
+test; the kernel is the oracle.  No pyspark import happens here.
+
+The sf dir defaults to the driver's correctness scale (sf0.01); override
+with ``SPARK_GRAFT_ORACLE_SF_DIR`` (tools/check_correctness.py sets it to
+whatever scale it is checking).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from functools import lru_cache
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+
+CP_SMALL_MAX = 500  # co-purchase subgraph: both part keys <= this
+BETWEENNESS_SOURCES = 100  # reference featurizer approximation
+BETWEENNESS_SEED = 0
+EVCENT_ITERS = 20
+WCORE_ROUND = 6
+
+
+def sf_dir() -> str:
+    return os.environ.get(ENV, DEFAULT_SF_DIR)
+
+
+@lru_cache(maxsize=4)
+def _con(d: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# shared input derivations (identical SQL to the set-based oracle CTEs)
+# ---------------------------------------------------------------------------
+
+_CP_Q = """
+SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                greatest(a.l_partkey, b.l_partkey) AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+_WCP_Q = f"""
+SELECT least(a.l_partkey, b.l_partkey) AS src,
+       greatest(a.l_partkey, b.l_partkey) AS dst,
+       count(DISTINCT a.l_orderkey) AS weight
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+WHERE a.l_partkey <= {CP_SMALL_MAX} AND b.l_partkey <= {CP_SMALL_MAX}
+GROUP BY 1, 2
+"""
+
+_USER_CHAIN_Q = """
+SELECT user_id AS graph_id, src, dst, sts, dts FROM (
+  SELECT user_id, event_id AS src,
+         lead(event_id) OVER w AS dst,
+         epoch_ms(ts) AS sts,
+         lead(epoch_ms(ts)) OVER w AS dts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id)
+) WHERE dst IS NOT NULL
+"""
+
+
+@lru_cache(maxsize=4)
+def cp_edges(d: str) -> tuple:
+    return tuple(_con(d).execute(_CP_Q).fetchall())
+
+
+@lru_cache(maxsize=4)
+def cp_small_edges(d: str) -> tuple:
+    return tuple(
+        (s, t) for s, t in cp_edges(d) if s <= CP_SMALL_MAX and t <= CP_SMALL_MAX
+    )
+
+
+@lru_cache(maxsize=4)
+def wcp_edges(d: str) -> tuple:
+    return tuple(_con(d).execute(_WCP_Q).fetchall())
+
+
+@lru_cache(maxsize=4)
+def user_chain_edges(d: str) -> tuple:
+    """(graph_id, src, dst, src_epoch_ms, dst_epoch_ms) per in-day event
+    succession."""
+    return tuple(_con(d).execute(_USER_CHAIN_Q).fetchall())
+
+
+@lru_cache(maxsize=4)
+def _cp_adj(d: str):
+    from .functions import kernels as K
+
+    return K.build_undirected_adj(list(cp_edges(d)))
+
+
+@lru_cache(maxsize=4)
+def _cp_small_adj(d: str):
+    from .functions import kernels as K
+
+    return K.build_undirected_adj(list(cp_small_edges(d)))
+
+
+def _user_adjs(d: str):
+    from .functions import kernels as K
+
+    groups: dict[int, list] = {}
+    for gid, s, t, _, _ in user_chain_edges(d):
+        groups.setdefault(gid, []).append((s, t))
+    return {gid: K.build_undirected_adj(es) for gid, es in sorted(groups.items())}
+
+
+# ---------------------------------------------------------------------------
+# VALUES literal rendering
+# ---------------------------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)  # repr round-trips doubles exactly
+    if isinstance(v, int):
+        return str(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def values_sql(rows, cols: list[tuple[str, str]], wrap: str | None = None) -> str:
+    """rows -> ``SELECT ... FROM (VALUES ...) AS t(...)``.  ``cols`` is
+    [(name, duckdb_type)].  ``wrap`` optionally replaces the outer select
+    list (e.g. to apply round() on the DuckDB side so rounding semantics
+    match Spark's round exactly)."""
+    names = ", ".join(n for n, _ in cols)
+    select = wrap or names
+    if not rows:
+        nulls = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"SELECT {select} FROM (SELECT {nulls}) AS t WHERE FALSE"
+    first = rows[0]
+    head = "(" + ", ".join(
+        f"CAST({_lit(v)} AS {t})" for v, (_, t) in zip(first, cols)
+    ) + ")"
+    rest = [
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows[1:]
+    ]
+    body = ",\n".join([head] + rest)
+    return f"SELECT {select} FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _round_wrap(cols: list[tuple[str, str]], rounds: dict[str, int]) -> str:
+    parts = []
+    for n, _ in cols:
+        if n in rounds:
+            parts.append(f"round({n}, {rounds[n]}) AS {n}")
+        else:
+            parts.append(n)
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# kernel-oracle builders (one per driver query)
+# ---------------------------------------------------------------------------
+
+
+def ora_coreness(d: str) -> str:
+    from .functions import kernels as K
+
+    core = K.coreness_values(_cp_adj(d))
+    return values_sql(
+        sorted(core.items()), [("v", "BIGINT"), ("coreness", "INTEGER")]
+    )
+
+
+def ora_k_core_components(d: str, k: int) -> str:
+    from .functions import kernels as K
+
+    comps = K.k_cores(_cp_adj(d), k)
+    rows = sorted((n, min(c)) for c in comps for n in c)
+    return values_sql(rows, [("v", "BIGINT"), ("component", "BIGINT")])
+
+
+def ora_k_truss_edges(d: str, k: int) -> str:
+    from .functions import kernels as K
+
+    trusses, _ = K.k_trusses(_cp_small_adj(d), k)
+    rows = sorted(e for t in trusses for e in t)
+    return values_sql(rows, [("src", "BIGINT"), ("dst", "BIGINT")])
+
+
+def ora_min_degree_prune(d: str, k: int) -> str:
+    from .functions import kernels as K
+
+    removed: set = set()
+    K.k_cores(_cp_small_adj(d), k, removed)
+    rows = sorted(
+        (s, t)
+        for s, t in cp_small_edges(d)
+        if s not in removed and t not in removed
+    )
+    return values_sql(rows, [("src", "BIGINT"), ("dst", "BIGINT")])
+
+
+def _betweenness_rows(adj, sources):
+    from .functions import kernels as K
+
+    acc = {n: 0.0 for n in adj}
+    for s in sources:
+        for n, dep in K.brandes_single_source(adj, s).items():
+            acc[n] += dep
+    return sorted(acc.items())
+
+
+def ora_betweenness_sampled(d: str) -> str:
+    adj = _cp_adj(d)
+    ranked = sorted(
+        (hashlib.md5(f"{BETWEENNESS_SEED}|{v}".encode()).hexdigest(), v)
+        for v in adj
+    )
+    sources = [v for _, v in ranked[:BETWEENNESS_SOURCES]]
+    cols = [("v", "BIGINT"), ("betweenness", "DOUBLE")]
+    return values_sql(
+        _betweenness_rows(adj, sources),
+        cols,
+        wrap=_round_wrap(cols, {"betweenness": 6}),
+    )
+
+
+def ora_betweenness_exact(d: str) -> str:
+    adj = _cp_small_adj(d)
+    cols = [("v", "BIGINT"), ("betweenness", "DOUBLE")]
+    return values_sql(
+        _betweenness_rows(adj, sorted(adj)),
+        cols,
+        wrap=_round_wrap(cols, {"betweenness": 6}),
+    )
+
+
+def ora_eigenvector_centrality(d: str) -> str:
+    from .functions import kernels as K
+
+    ev = K.eigenvector_centrality(_cp_small_adj(d), eps=0.0, max_iter=EVCENT_ITERS)
+    cols = [("v", "BIGINT"), ("evcent", "DOUBLE")]
+    return values_sql(
+        sorted(ev.items()), cols, wrap=_round_wrap(cols, {"evcent": 6})
+    )
+
+
+def ora_coreness_anomaly(d: str) -> str:
+    from .functions import kernels as K
+
+    anom = K.coreness_anomaly(_cp_adj(d))
+    cols = [("v", "BIGINT"), ("anomaly", "DOUBLE")]
+    return values_sql(
+        sorted(anom.items()), cols, wrap=_round_wrap(cols, {"anomaly": 6})
+    )
+
+
+def ora_weighted_coreness(d: str) -> str:
+    from .functions import kernels as K
+
+    wadj = K.build_weighted_adj(
+        [(s, t, float(w)) for s, t, w in wcp_edges(d)]
+    )
+    fc = K.fractional_coreness(wadj)
+    cols = [("v", "BIGINT"), ("coreness", "DOUBLE")]
+    return values_sql(
+        sorted(fc.items()), cols, wrap=_round_wrap(cols, {"coreness": WCORE_ROUND})
+    )
+
+
+def ora_core_assignments_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        for lvl, comps in enumerate(K.core_assignments(adj), start=1):
+            for comp in comps:
+                m = min(comp)
+                for n in sorted(comp):
+                    rows.append((gid, lvl, n, m))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("level", "INTEGER"),
+            ("node", "BIGINT"),
+            ("component", "BIGINT"),
+        ],
+    )
+
+
+def ora_kpeaks_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        core = K.coreness_values(adj)
+        peaks, mountains = K.k_peak_mountain_assignment(adj)
+        m_of = {n: mid for mid, nodes in mountains.items() for n in nodes}
+        for n in sorted(adj):
+            rows.append((gid, n, core[n], peaks[n], m_of[n]))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("coreness", "INTEGER"),
+            ("peak", "INTEGER"),
+            ("mountain", "INTEGER"),
+        ],
+    )
+
+
+def ora_cnm_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        communities, trace = K.cnm_communities(adj)
+        label = {}
+        for members in communities.values():
+            m = min(members)
+            for n in members:
+                label[n] = m
+        tr = json.dumps(trace)
+        for n in sorted(label):
+            rows.append((gid, n, label[n], tr))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("community", "BIGINT"),
+            ("modularity_trace", "VARCHAR"),
+        ],
+    )
+
+
+def ora_brokerage_per_user(d: str, mod_k: int = 4) -> str:
+    from .functions import kernels as K
+
+    groups: dict[int, list] = {}
+    for gid, s, t, _, _ in user_chain_edges(d):
+        groups.setdefault(gid, []).append((s, t))
+    membership = {}
+
+    class _Mod:
+        def __getitem__(self, n):
+            return int(n) % mod_k
+
+    membership = _Mod()
+    rows = []
+    for gid, es in sorted(groups.items()):
+        out_adj, in_adj = K.build_directed_adj(es)
+        for n in sorted(out_adj):
+            s = K.brokerage_scores(out_adj, in_adj, n, membership)
+            rows.append(
+                (
+                    gid, n, s["coordinator"], s["itinerant"], s["gatekeeper"],
+                    s["representative"], s["liaison"], s["total_open_twopaths"],
+                )
+            )
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("coordinator", "INTEGER"),
+            ("itinerant", "INTEGER"),
+            ("gatekeeper", "INTEGER"),
+            ("representative", "INTEGER"),
+            ("liaison", "INTEGER"),
+            ("total_open_twopaths", "INTEGER"),
+        ],
+    )
+
+
+def ora_weighted_core_miner_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    groups: dict[int, list] = {}
+    for gid, s, t, sts, dts in user_chain_edges(d):
+        w = (float(dts) - float(sts)) / 1000.0
+        groups.setdefault(gid, []).append((s, t, w))
+    rows = []
+    for gid, es in sorted(groups.items()):
+        wadj = K.build_weighted_adj(es)
+        fc = K.fractional_coreness(wadj)
+        for n, c in sorted(fc.items(), key=lambda kv: (kv[1], kv[0])):
+            rows.append((gid, n, c, len(wadj[n])))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("frac_coreness", "DOUBLE"),
+            ("degree", "INTEGER"),
+        ],
+    )
+
+
+def ora_featurizer_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        stats = K.graph_stats(adj, seed=int(gid))
+        rows.append((gid, json.dumps(stats, sort_keys=True)))
+    return values_sql(rows, [("graph_id", "BIGINT"), ("stats", "VARCHAR")])
+
+
+def ora_core_miner_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        core = K.coreness_values(adj)
+        anom = K.coreness_anomaly(adj, core)
+        deg = K.degrees(adj)
+        for n, c in sorted(core.items(), key=lambda kv: (kv[1], kv[0])):
+            rows.append((gid, n, c, deg[n], anom[n]))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("coreness", "INTEGER"),
+            ("degree", "INTEGER"),
+            ("anomaly", "DOUBLE"),
+        ],
+    )
+
+
+def ora_clique_miner(d: str) -> str:
+    """In-process mirror of operators.clique_miner.mine_cliques on the
+    supplier-part bipartite graph (same SearchProblem as the query)."""
+    from .functions import clique_kernel as CK
+
+    con = _con(d)
+    pairs = con.execute(
+        "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem ORDER BY 1, 2"
+    ).fetchall()
+    rows_in = [(int(c), int(nc), "supplies", "part") for c, nc in pairs]
+    typespec = [["supplier", "supplies", "part"]]
+    sp = CK.SearchProblem(
+        beam_size=10, alpha=1.0, global_thresh=0.5, local_thresh=0.5,
+        num_to_search=10, num_epochs=30, max_repeated_prior_scores=3,
+        min_degree=2,
+    )
+    _, non_core_types, _, _ = CK.process_typespec(typespec)
+    n_types = len(non_core_types)
+    cols = [
+        ("graph_id", "BIGINT"), ("num_core", "INTEGER"),
+        ("num_non_core", "INTEGER"), ("core_ids", "VARCHAR"),
+        ("non_core_ids", "VARCHAR"), ("non_core_types", "VARCHAR"),
+        ("cliqueness", "DOUBLE"), ("core_densities", "VARCHAR"),
+        ("non_core_densities", "VARCHAR"),
+    ]
+    g = CK.build_typed_graph(rows_in, typespec, min_degree=sp.min_degree)
+    if not g.core_ids or not g.non_core_ids:
+        return values_sql([], cols)
+    beam = CK.Beam(g, sp, graph_key=0, num_non_core_types=n_types)
+    top, _ = beam.run_search()
+    if top.score is None or top.score <= 0:
+        return values_sql([], cols)
+    rev = g.reverse_labels_map
+    core_labels = sorted(rev[i][1] for i in top.core_ids)
+    non_core_labels = sorted(rev[i][1] for i in top.non_core_ids)
+    nct = [
+        non_core_types[g.nodes[i].non_core_type - 1]
+        for i in sorted(top.non_core_ids)
+    ]
+    row = (
+        0, len(core_labels), len(non_core_labels), json.dumps(core_labels),
+        json.dumps(non_core_labels), json.dumps(nct), top.get_cliqueness(),
+        json.dumps(top.get_core_densities()),
+        json.dumps(top.get_non_core_densities(n_types)),
+    )
+    return values_sql([row], cols)
+
+
+def ora_ann_recall(d: str, k: int = 10, n_planes: int = 8,
+                   n_tables: int = 4, seed: int = 42) -> str:
+    """numpy mirror of functions.similarity.ann_recall on the embeddings
+    table (queries = vec_id < 8), using the same seeded hyperplanes."""
+    import numpy as np
+
+    from .functions.similarity import lsh_planes
+
+    con = _con(d)
+    data = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data], dtype=np.int64)
+    mat = np.array([r[1] for r in data], dtype=np.float64)
+    dim = mat.shape[1]
+    qmask = ids < 8
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    def topk_exact(qi):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        return [ids[i] for i in order[:k]]
+
+    # bucket tables
+    buckets = []
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    for t in range(n_tables):
+        planes = lsh_planes(dim, n_planes, seed, t)
+        bits = (mat @ planes) > 0
+        buckets.append(bits @ weights)
+    rows = []
+    for qi in np.nonzero(qmask)[0]:
+        exact = set(topk_exact(qi))
+        cand = set()
+        for t in range(n_tables):
+            same = np.nonzero(buckets[t] == buckets[t][qi])[0]
+            cand.update(int(i) for i in same)
+        cand.discard(int(qi))
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(cand, key=lambda i: (-cos[i], ids[i]))
+        approx = {ids[i] for i in order[:k]}
+        rows.append((int(ids[qi]), len(exact & approx) / float(k)))
+    cols = [("query_id", "BIGINT"), ("recall", "DOUBLE")]
+    return values_sql(rows, cols, wrap=_round_wrap(cols, {"recall": 6}))
+
+
+def ora_media_feature_stats(d: str, n: int = 500, seed: int = 42,
+                            dim: int = 8) -> str:
+    """In-process mirror of multimodal.synthesize_media +
+    extract_features(deterministic_fake) + per-row feature mean."""
+    from .functions.multimodal import _fake_decode
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = (
+            "MEDIA:" + hashlib.md5(f"{i}{seed}".encode()).hexdigest()
+        ).encode()
+        feat = _fake_decode(payload, dim)
+        acc = 0.0
+        for x in feat:  # left-to-right like Spark's F.aggregate
+            acc += float(x)
+        rows.append((i, kind, acc / dim))
+    cols = [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("feat_mean", "DOUBLE")]
+    return values_sql(rows, cols, wrap=_round_wrap(cols, {"feat_mean": 5}))

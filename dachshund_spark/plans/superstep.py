@@ -35,6 +35,40 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + STATISTICS RESET — the lineage cut every iterative
+    loop in this engine must use.
+
+    ``Dataset.localCheckpoint`` deliberately carries the checkpointed
+    plan's computed statistics into the new LogicalRDD leaf.  For loops
+    built from INNER joins that is a time bomb: Catalyst's size-only
+    estimator multiplies children's sizeInBytes at every join, so the
+    carried stats compound — round r's leaf estimate is a product of
+    round r-1's, and the BigInt digit count grows geometrically (measured
+    ~3x per round for the k-truss wedge join: 12 → 35 → 105 → ... digits;
+    by round ~15 Catalyst spends MINUTES inside BigInteger.multiply in
+    SizeInBytesOnlyStatsPlanVisitor.visitJoin).  Anti/semi-join loops
+    survive (their estimate is the left child's), which is why only the
+    inner-join loops hit it.
+
+    The reset rebuilds the DataFrame from the checkpointed RDD via
+    SparkSession.internalCreateDataFrame, whose LogicalRDD carries no
+    inherited stats (leaves fall back to defaultSizeInBytes, keeping every
+    later estimate bounded).  Falls back to the plain localCheckpoint if
+    the internal API is unavailable."""
+    cut = df.localCheckpoint(eager=eager)
+    try:
+        spark = df.sparkSession
+        jdf = cut._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover - internal API moved/renamed
+        return cut
+
+
 @dataclass
 class SuperstepMetrics:
     superstep: int
@@ -170,8 +204,8 @@ def iterate(
             new_state = reread.persist()
             new_state.count()
         elif i % checkpoint_every == 0:
-            # lineage cut without durability
-            cut = new_state.localCheckpoint(eager=True)
+            # lineage cut without durability (stats reset included)
+            cut = cut_lineage(new_state)
             new_state.unpersist()
             new_state = cut
         state.unpersist()

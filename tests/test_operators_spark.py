@@ -285,3 +285,61 @@ def test_distributed_scc(spark):
             for r in dist_scc(B.edges_df(spark, edge_list), max_outer=60).collect()
         }
         assert got == kernel_labels(edge_list)
+
+
+def test_two_phase_cc_matches_hashmin(spark):
+    """large-star/small-star must produce identical min-id labels to
+    hash-min LP, and converge in O(log n) rounds on a high-diameter path
+    (where hash-min would need diameter supersteps)."""
+    import random
+
+    from dachshund_spark.operators.components import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(11)
+    shapes = [
+        KARATE_CLUB_EDGES,
+        [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 102)],
+        list({(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(70)}),
+    ]
+    for edge_list in shapes:
+        edge_list = [(u, v) for u, v in edge_list if u != v]
+        e = B.edges_df(spark, edge_list)
+        a = {r["v"]: r["component"] for r in connected_components(e).collect()}
+        b = {
+            r["v"]: r["component"]
+            for r in connected_components_two_phase(e).collect()
+        }
+        assert a == b
+
+    # 3000-hop path: two-phase must converge in far fewer than
+    # diameter rounds (O(log n)); completing under max_rounds=25 proves it
+    from pyspark.sql import functions as F
+
+    path = B.path_graph(spark, 3000)
+    labels = connected_components_two_phase(path, max_rounds=25)
+    assert labels.filter(F.col("component") != 0).count() == 0
+    assert labels.count() == 3000
+
+
+def test_coreness_anomaly_and_averaged_ties(spark):
+    from dachshund_spark.operators.coreness import (
+        averaged_ties_rank,
+        coreness_anomaly,
+    )
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    got = {r["v"]: r["anomaly"] for r in coreness_anomaly(e).collect()}
+    adj = K.build_undirected_adj(KARATE_CLUB_EDGES)
+    want = K.coreness_anomaly(adj)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 5), (4, 20)], "v long, s int"
+    )
+    ranks = {r["v"]: r["rank"] for r in averaged_ties_rank(scores, "s").collect()}
+    assert ranks == {4: 1.0, 1: 2.5, 2: 2.5, 3: 4.0}

@@ -65,6 +65,9 @@ def main():
         )
 
     qs = E.queries()
+    # kernel oracles derive their expected values from the sf dir being
+    # checked (the driver's default is sf0.01 — the gate scale)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = E.oracle_sql()
     failures = []
     for name, fn in sorted(qs.items()):
