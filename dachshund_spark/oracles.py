@@ -456,6 +456,30 @@ def ora_core_miner_per_user(d: str) -> str:
     )
 
 
+def ora_spectral_per_user(d: str) -> str:
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        rows.append(
+            (
+                gid,
+                len(adj),
+                K.count_edges(adj),
+                round(float(K.algebraic_connectivity(adj)), 6),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("n_nodes", "INTEGER"),
+            ("n_edges", "INTEGER"),
+            ("algebraic_connectivity", "DOUBLE"),
+        ],
+    )
+
+
 def ora_clique_miner(d: str) -> str:
     """In-process mirror of operators.clique_miner.mine_cliques on the
     supplier-part bipartite graph (same SearchProblem as the query)."""
@@ -504,8 +528,8 @@ def ora_clique_miner(d: str) -> str:
     return values_sql([row], cols)
 
 
-def ora_ann_recall(d: str, k: int = 10, n_planes: int = 8,
-                   n_tables: int = 4, seed: int = 42) -> str:
+def ora_ann_recall(d: str, k: int = 10, n_planes: int = 3,
+                   n_tables: int = 16, seed: int = 42) -> str:
     """numpy mirror of functions.similarity.ann_recall on the embeddings
     table (queries = vec_id < 8), using the same seeded hyperplanes."""
     import numpy as np

@@ -53,4 +53,11 @@ def get_spark(
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
+    # last-wins overrides from the environment, e.g.
+    #   SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.foo=bar"
+    # (used by bench children to A/B runtime settings without code edits)
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

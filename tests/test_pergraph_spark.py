@@ -153,3 +153,19 @@ def test_clique_miner_spark(spark):
     assert _json.loads(r["non_core_ids"]) == [100, 101, 102, 103, 104]
     assert r["cliqueness"] == 1.0
     assert 2 not in by_gid  # pruned to empty
+
+
+def test_spectral_per_graph(spark):
+    """Fiedler value per graph vs the kernel: karate club golden 0.469...
+    (tests/karate_club.rs spectral family) and a disconnected graph -> 0."""
+    from tests.fixtures import KARATE_CLUB_EDGES
+
+    rows = [(1, u, v) for u, v in KARATE_CLUB_EDGES]
+    rows += [(2, 1, 2), (2, 3, 4)]  # disconnected -> fiedler 0
+    df = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    got = {
+        r["graph_id"]: r for r in PG.spectral_per_graph(df).collect()
+    }
+    assert abs(got[1]["algebraic_connectivity"] - 0.469) < 0.001
+    assert got[1]["n_nodes"] == 34 and got[1]["n_edges"] == 78
+    assert abs(got[2]["algebraic_connectivity"]) < 1e-9

@@ -234,3 +234,16 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evt_counts").collect()
     }
     assert got == want
+
+
+def test_ann_recall_gate(spark):
+    """The LSH-bucketed path must reach recall@10 >= 0.9 vs the exact
+    baseline with the driver-gate configuration (3 planes x 16 tables on
+    the isotropic fixture embeddings)."""
+    from dachshund_spark.functions.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    rows = ann_recall(emb, queries, k=10, n_planes=3, n_tables=16, seed=42).collect()
+    assert len(rows) == 8
+    assert all(r["recall"] >= 0.9 for r in rows)
