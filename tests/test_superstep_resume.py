@@ -71,3 +71,33 @@ def test_resume_continues_not_restarts(spark, tmp_path):
     oracle6 = K.pagerank_numpy(directed, tol=0.0, max_iter=6)
     for v, val in oracle6.items():
         assert abs(got[v] - val) <= 1e-9
+
+
+def test_checkpoint_fingerprint_mismatch_refused(spark, tmp_path):
+    """A checkpoint written under one input/params fingerprint must not be
+    silently resumed by a job with a different fingerprint."""
+    import pytest
+
+    from dachshund_spark.plans.superstep import (
+        CheckpointManager,
+        SuperstepMetrics,
+    )
+
+    root = str(tmp_path)
+    cp_a = CheckpointManager(root, "job", fingerprint="input=a;tol=1e-6")
+    df = spark.range(5).selectExpr("id as v", "id as component")
+    m = SuperstepMetrics(superstep=3, rows=5, delta=0.0, seconds=0.1, partitions=1)
+    cp_a.save(df, m)
+    # same fingerprint resumes fine
+    k, state = cp_a.load_latest(spark)
+    assert k == 3 and state.count() == 5
+    # different fingerprint refuses
+    cp_b = CheckpointManager(root, "job", fingerprint="input=b;tol=1e-6")
+    with pytest.raises(ValueError, match="fingerprint"):
+        cp_b.load_latest(spark)
+    # legacy checkpoints (no stored fingerprint) stay loadable
+    cp_legacy_writer = CheckpointManager(root, "legacy")
+    cp_legacy_writer.save(df, m)
+    cp_reader = CheckpointManager(root, "legacy", fingerprint="anything")
+    k2, _ = cp_reader.load_latest(spark)
+    assert k2 == 3
