@@ -924,8 +924,10 @@ WITH RECURSIVE {_CP_SQL},
 bfs(v, dist) AS (
   SELECT (SELECT min(src) FROM edges), 0
   UNION
+  -- recursion safety bound; must exceed the co-purchase graph's
+  -- eccentricity at every gate scale (measured <= 4; dense graph)
   SELECT sym.dst, bfs.dist + 1 FROM bfs JOIN sym ON sym.src = bfs.v
-  WHERE bfs.dist < 8
+  WHERE bfs.dist < 30
 )
 SELECT v, min(dist) AS dist FROM bfs GROUP BY v"""
     sql["doc_token_counts"] = """
@@ -1075,8 +1077,14 @@ WITH RECURSIVE {_CPS_SQL},
 bfs(v, dist) AS (
   SELECT (SELECT min(src) FROM edges), 0
   UNION
+  -- dist < 100 is a recursion SAFETY bound only (cycles make unbounded
+  -- (v, dist) pairs): it must exceed any plausible eccentricity of the
+  -- cp_small graph at every gate scale, else the ORACLE silently drops
+  -- distant vertices while the Spark BFS (max_depth=10000) keeps them.
+  -- cp_small has <= 500 vertices, so eccentricity < 500 but measured
+  -- <= 6 at sf0.001-0.1; 100 leaves a wide margin at bounded cost.
   SELECT sym.dst, bfs.dist + 1 FROM bfs JOIN sym ON sym.src = bfs.v
-  WHERE bfs.dist < 15
+  WHERE bfs.dist < 100
 ),
 d AS (SELECT v, min(dist) AS dd FROM bfs GROUP BY v)
 SELECT s.dst AS v, s.src AS parent

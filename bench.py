@@ -339,11 +339,18 @@ def run_scaling(
             <= 1.25 * min_small
         )
     valid = [p for p in pairs if p["valid"]] or pairs
+    # headline = the MEDIAN-efficiency valid pair, not the max: selecting
+    # the best pair is an upward-biased draw from run-to-run noise (the
+    # guard only filters noise-inflated SMALL sides; a lucky-quiet BIG
+    # side would still inflate a best-of headline).  Best pair stays in
+    # the report as supplementary detail.
+    ranked = sorted(valid, key=lambda p: p["efficiency"])
+    headline = ranked[(len(ranked) - 1) // 2]
     best = max(valid, key=lambda p: p["efficiency"])
-    r_small, r_big = best["small"], best["big"]
+    r_small, r_big = headline["small"], headline["big"]
     eps_small = r_small["pagerank"]["edges_per_sec_per_superstep"]
     eps_big = r_big["pagerank"]["edges_per_sec_per_superstep"]
-    speedup, efficiency = best["speedup"], best["efficiency"]
+    speedup, efficiency = headline["speedup"], headline["efficiency"]
     rel_efficiency = speedup / ceiling
     pair_rows = [
         f"| {p['pair']} | {p['small']['pagerank']['sec_per_superstep_steady']} | "
@@ -369,9 +376,12 @@ def run_scaling(
         ) + ";",
         "steady-state sec/superstep (first two blocks excluded); fresh JVMs per run.",
         "",
-        f"Best pair: **{small}→{big} {'cores' if mode == 'threads' else 'executors'} ({ratio:.0f}×): speedup "
+        f"Headline (median valid pair): **{small}→{big} "
+        f"{'cores' if mode == 'threads' else 'executors'} ({ratio:.0f}×): speedup "
         f"{speedup:.2f}×, scaling efficiency {efficiency:.3f}** "
-        "(north-rule target ≥ 0.8).",
+        "(north-rule target ≥ 0.8). "
+        f"Best valid pair: {best['speedup']:.2f}× / {best['efficiency']:.3f} "
+        "(supplementary — best-of-N is an upward-biased selection).",
         "",
         "| size | sec/superstep | edges/sec/superstep | edges/sec/core |",
         "|---|---|---|---|",
@@ -390,10 +400,10 @@ def run_scaling(
         f"python work achieves only **{ceiling:.2f}×** from "
         f"{small * cores_factor} to {big * cores_factor} "
         f"processes (shared/burst host), so {ceiling:.2f}× bounds any job here; "
-        f"relative to that ceiling the best pair achieves **{rel_efficiency:.3f}**. "
+        f"relative to that ceiling the headline pair achieves **{rel_efficiency:.3f}**. "
         "Run-to-run variance is documented in BENCH/PLANS.md.",
         "",
-        "Full best-pair metrics:",
+        "Full headline-pair metrics:",
         "```json",
         json.dumps({"small": r_small, "big": r_big}, indent=2),
         "```",

@@ -31,45 +31,69 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import iterate
+from ..plans.superstep import cut_lineage, iterate
 from .builders import symmetrized, vertices
 
 
 def eigenvector_centrality(
     edges: DataFrame, eps: float = 0.001, max_iter: int = 1000
 ) -> DataFrame:
-    """DataFrame[v, evcent], L-inf normalized (max = 1)."""
+    """DataFrame[v, evcent], L-inf normalized (max = 1).
+
+    ONE driver action per superstep (pagerank.py's discipline): the state
+    carries the UN-normalized inflow ``y_i`` plus the previous normalized
+    vector ``x_{i-1}``; the L-inf scale ``m_i = max(y_i)`` lives on the
+    driver and is applied lazily as a ``lit`` expression, so normalization
+    costs no job.  The single per-superstep aggregate returns
+    ``(max(y_i), L1(x_{i-1} - x_{i-2}), rows)`` — the L1 change is EXACT
+    but lagged one superstep (both scales in ``|y_{i-1}/m_{i-1} -
+    x_{i-2}|`` are known by then), so a tolerance stop detects convergence
+    one superstep late and returns the converged vector ``x_{i-1}``
+    itself, bit-identical to the eager-delta formulation."""
     adj = symmetrized(edges).repartition("src").persist()
     adj.count()
     n_row = vertices(edges).count()
-    state0 = vertices(edges).select("v", F.lit(1.0 / n_row).alias("x"))
+    state0 = vertices(edges).select(
+        "v",
+        F.lit(1.0 / n_row).alias("y"),
+        F.lit(1.0 / n_row).alias("xprev"),
+    )
+    scale = {"m": 1.0}  # x_0 = y_0 / 1
 
     def step(state: DataFrame, i: int):
+        m = scale["m"]
         msgs = adj.join(state, adj.src == state.v).select(
-            F.col("dst").alias("v"), "x"
+            F.col("dst").alias("v"), (F.col("y") / F.lit(m)).alias("x")
         )
-        y = msgs.groupBy("v").agg(F.sum("x").alias("y")).persist()
-        m = y.agg(F.max("y")).collect()[0][0]
-        prev = state.select("v", F.col("x").alias("x0"))
-        # return the persisted DataFrame itself (extra column "d" is
-        # carried through iterate and stripped at the end) so iterate's
-        # unpersist releases exactly what was cached — no per-superstep
-        # cache leak
-        new_state = prev.join(y, "v", "left").select(
-            "v",
-            (F.coalesce(F.col("y"), F.lit(0.0)) / F.lit(m)).alias("x"),
-            F.abs(
-                F.coalesce(F.col("y"), F.lit(0.0)) / F.lit(m) - F.col("x0")
-            ).alias("d"),
-        ).persist()
+        inflow = msgs.groupBy("v").agg(F.sum("x").alias("ynew"))
+        new_state = (
+            state.join(inflow, "v", "left")
+            .select(
+                "v",
+                F.coalesce("ynew", F.lit(0.0)).alias("y"),
+                (F.col("y") / F.lit(m)).alias("xprev"),
+                F.abs(F.col("y") / F.lit(m) - F.col("xprev")).alias("d"),
+            )
+            .persist()
+        )
         agg = new_state.agg(
-            F.sum("d").alias("l1"), F.count("*").alias("rows")
+            F.max("y").alias("m"),
+            F.sum("d").alias("l1"),
+            F.count("*").alias("rows"),
         ).collect()[0]
-        y.unpersist()
-        return (new_state, float(agg["l1"]), int(agg["rows"]))
+        scale["m"] = float(agg["m"])
+        # first superstep has no previous change to report
+        delta = float("inf") if i == 0 else float(agg["l1"])
+        return (new_state, delta, int(agg["rows"]))
 
     result = iterate(state0, step, max_iter=max_iter, tol=eps)
-    out = result.state.select("v", F.col("x").alias("evcent"))
+    if result.converged:
+        # stop fired on the lagged delta: xprev IS the converged vector
+        out = result.state.select("v", F.col("xprev").alias("evcent"))
+    else:
+        out = result.state.select(
+            "v", (F.col("y") / F.lit(scale["m"])).alias("evcent")
+        )
     adj.unpersist()
     return out
 
@@ -114,6 +138,13 @@ def betweenness(
     spark = edges.sparkSession
     from ..operators.builders import canonical_undirected
 
+    master = spark.sparkContext.master
+    if scratch_dir is None and not master.startswith("local"):
+        raise ValueError(
+            "betweenness on a non-local cluster requires scratch_dir to be "
+            "a cluster-visible path (HDFS/S3/shared FS); the local tempdir "
+            f"default would fail task-side reads under master={master!r}"
+        )
     canon = canonical_undirected(edges)
     root = scratch_dir or os.path.join(tempfile.gettempdir(), "dachshund_bet")
     path = os.path.join(root, f"edges-{uuid.uuid4().hex}")
@@ -157,6 +188,15 @@ def betweenness(
 
     partials = src_df.mapInPandas(run_sources, "v long, partial double")
     summed = partials.groupBy("v").agg(F.sum("partial").alias("betweenness"))
-    return verts.join(summed, "v", "left").select(
+    out = verts.join(summed, "v", "left").select(
         "v", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+    # the result is small (one row per vertex): materialize it eagerly so
+    # the scratch parquet can be deleted deterministically instead of
+    # leaking one edges-<uuid> directory per call
+    try:
+        return cut_lineage(out)
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)

@@ -93,6 +93,16 @@ def connected_components(
         checkpointer=checkpointer,
         start_iteration=start_iteration,
     )
+    if not result.converged:
+        # silent truncation would return labels that are NOT constant per
+        # component — callers could not tell a wrong answer from a right
+        # one.  High-diameter graphs should raise max_iter or use
+        # connected_components_two_phase (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"supersteps (last delta {result.metrics[-1].delta if result.metrics else '?'}); "
+            "raise max_iter or use connected_components_two_phase"
+        )
     out = result.state.select("v", "component")
     adj.unpersist()
     if include_metrics:
@@ -104,13 +114,45 @@ def to_discovery_order(components: DataFrame) -> DataFrame:
     """Remap min-id component labels to dense indices ordered by the
     component's minimum vertex id — the reference's discovery order (its
     BFS pops the smallest remaining id first, connected_components.rs:33-41).
-    Driver-side window over the (small) distinct label set."""
+
+    Scalable dense rank: the label set can be O(n) (all-singleton graphs),
+    so a global unpartitioned ``row_number`` window would funnel every
+    label through one reducer.  Instead: range-repartition the distinct
+    labels, rank WITHIN each (sorted, disjoint) range partition, and add
+    per-partition offsets computed from the (#partitions-sized) partition
+    counts — the classic two-pass distributed dense rank."""
+    spark = components.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
     distinct = components.select("component").distinct()
-    ranked = distinct.withColumn(
-        "component_idx",
-        F.row_number().over(Window.orderBy("component")) - 1,
+    # pin the (sampled, otherwise rerun-unstable) range partitioning so the
+    # count pass and the rank pass see identical partition ids
+    parted = cut_lineage(
+        distinct.repartitionByRange(n_part, "component").withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
-    return components.join(F.broadcast(ranked), "component").select(
+    counts = {
+        r["_pid"]: r["c"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_part):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    ranked = (
+        parted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy("component")
+            ),
+        )
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "component", (F.col("rn") - 1 + F.col("_off")).alias("component_idx")
+        )
+    )
+    return components.join(ranked, "component").select(
         "v", "component", "component_idx"
     )
 
@@ -209,11 +251,15 @@ def _directed_min_labels(
     """Hash-min label propagation along DIRECTED edges to fixpoint:
     label(v) = min id over {v} ∪ {label(u) : u -> v} — i.e. the minimum
     vertex id that can reach v.  Returns DataFrame[v, label].  One driver
-    action per superstep; lineage cut every 3."""
+    action per superstep; lineage cut every 3.  Raises if ``max_iter``
+    supersteps pass with changes still pending — truncated labels are not
+    constant across an SCC, so a caller (strongly_connected_components)
+    could silently settle a strict subset of a large-diameter SCC."""
     adj = edges.repartition("src").persist()
     adj.count()
     state = verts.select("v", F.col("v").alias("label")).persist()
     state.count()
+    converged = False
     for i in range(max_iter):
         msgs = adj.join(state, adj.src == state.v).select(
             F.col("dst").alias("v"), "label"
@@ -236,7 +282,13 @@ def _directed_min_labels(
         state.unpersist()
         state = new_state
         if not agg["c"]:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"directed min-label propagation did not reach fixpoint in "
+            f"{max_iter} supersteps; raise max_iter"
+        )
     out = state.select("v", "label")
     adj.unpersist()
     return out
@@ -308,19 +360,28 @@ def strongly_connected_components(
 def is_acyclic(edges: DataFrame, max_rounds: int = 100000) -> bool:
     """Distributed Kahn-style sink stripping (cf.
     simple_directed_graph.rs:25-43): repeatedly remove vertices with no
-    remaining out-edges; acyclic iff the edge set empties."""
+    remaining out-edges; acyclic iff the edge set empties.
+
+    One driver action per round: the surviving edge count is carried from
+    the previous round instead of being recounted, and the lineage cut is
+    lazy (materialized by the same count job).  Each round strips every
+    current sink, so the round count is bounded by the longest directed
+    path ending in a sink (≤ longest chain; a DAG of depth d finishes in
+    d rounds, a cycle is detected the first round no sink disappears)."""
     cur = cut_lineage(edges.select("src", "dst").distinct())
+    n = cur.count()
     for _ in range(max_rounds):
-        n = cur.count()
         if n == 0:
             return True
         # vertices that still have out-edges
         has_out = cur.select(F.col("src").alias("v")).distinct()
         # keep only edges whose dst still has out-edges (dst is not a sink)
         nxt = cut_lineage(
-            cur.join(has_out.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            cur.join(has_out.withColumnRenamed("v", "dst"), "dst", "left_semi"),
+            eager=False,
         )
-        if nxt.count() == n:
+        n_next = nxt.count()
+        if n_next == n:
             return False  # no sink removed: a cycle remains
-        cur = nxt
+        cur, n = nxt, n_next
     raise RuntimeError("is_acyclic did not converge")

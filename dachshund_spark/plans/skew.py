@@ -27,21 +27,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salt: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt: xxhash64 of the row content mixed with the
-    physical partition id — no rand(), so retried tasks produce identical
-    output for deterministically-partitioned inputs (file scans), which is
-    what checkpoint/restart consistency requires.  Mixing the partition id
-    in means byte-identical duplicate rows of one hub key (the classic
-    duplicate-row skew case) still spread across ``n_salt`` reducers as
-    long as they arrive on different input partitions; duplicates within a
-    single partition share a salt by design (they are already co-located
-    and cost no extra shuffle)."""
+def with_salt(
+    df: DataFrame,
+    n_salt: int,
+    col_name: str = "_salt",
+    mix_partition_id: bool = False,
+) -> DataFrame:
+    """Deterministic salt: xxhash64 of the row content — no rand(), so
+    retried tasks, resumed checkpoints, and re-runs all produce identical
+    salts regardless of how the input happens to be physically partitioned
+    (AQE coalescing, repartition, or a different reader split must not
+    change a row's salt).
+
+    The one case content hashing cannot spread is BYTE-IDENTICAL duplicate
+    rows of a single hub key.  For that, pass ``mix_partition_id=True`` —
+    it additionally hashes ``spark_partition_id()`` so duplicates arriving
+    on different input partitions fan out.  Only do this when ``df`` is
+    SCAN-ROOTED (a deterministic file read with no shuffle/AQE between the
+    scan and this call): partition ids are only stable for such inputs,
+    and an unstable salt silently breaks checkpoint/restart determinism."""
+    parts = list(df.columns) + (
+        [F.spark_partition_id()] if mix_partition_id else []
+    )
     return df.withColumn(
         col_name,
-        F.pmod(
-            F.xxhash64(*df.columns, F.spark_partition_id()), F.lit(n_salt)
-        ).cast("int"),
+        F.pmod(F.xxhash64(*parts), F.lit(n_salt)).cast("int"),
     )
 
 
