@@ -489,6 +489,21 @@ def _q_spectral_per_user(spark, sf_dir):
     return spectral_per_graph(user_graph_edges(spark, sf_dir))
 
 
+def _q_approx_stats_per_user(spark, sf_dir):
+    # seeded wedge-sampling estimators + is_connected per user graph
+    # (clustering.rs:50-80, transitivity.rs:56-91, connectivity.rs:48-63),
+    # hash-checked against the kernel oracle
+    from dachshund_spark.operators.pergraph import approx_stats_per_graph
+
+    st = approx_stats_per_graph(user_graph_edges(spark, sf_dir))
+    return st.select(
+        "graph_id",
+        "is_connected",
+        F.round("approx_avg_clustering", 6).alias("approx_avg_clustering"),
+        F.round("approx_transitivity", 6).alias("approx_transitivity"),
+    )
+
+
 def _q_ann_recall(spark, sf_dir):
     # Quality gate for the LSH-bucketed ANN path: recall@10 vs the exact
     # baseline, per query.  The fixture embeddings are isotropic random
@@ -501,6 +516,27 @@ def _q_ann_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_recall(emb, queries, k=10, n_planes=3, n_tables=16, seed=42)
+
+
+def _q_ann_clustered(spark, sf_dir):
+    # LSH pruning demonstrated on CLUSTERED data (the realistic corpus
+    # shape): mixture-of-Gaussians fixture, recall@10 vs exact baseline
+    # PLUS candidate fraction per query.  The scale win the operator
+    # exists for: recall ~1.0 while examining <10% of the corpus
+    # (cross-join collapses to bucket equi-join).  Thresholds are pinned
+    # by tests/test_webtext_spark.py::test_ann_clustered_pruning.
+    from dachshund_spark.functions.similarity import (
+        ann_recall_stats,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    ).persist()
+    queries = emb.filter(F.col("vec_id") < 16)
+    return ann_recall_stats(
+        emb, queries, k=10, n_planes=10, n_tables=16, seed=42, dim=32
+    )
 
 
 def _q_media_frame_sample(spark, sf_dir):
@@ -528,6 +564,27 @@ def _q_media_feature_stats(spark, sf_dir):
     ) / F.lit(8.0)
     return feats.select(
         "media_id", "kind", F.round(mean, 5).alias("feat_mean")
+    )
+
+
+def _q_wav_features(spark, sf_dir):
+    # REAL codec path: stdlib-encoded PCM WAV payloads decoded task-side
+    # with the stdlib wave module; oracle regenerates the samples without
+    # the container, so a hash match proves the round trip is lossless
+    from dachshund_spark.functions.multimodal import (
+        synthesize_wav_media,
+        wav_feature_stats,
+    )
+
+    media = synthesize_wav_media(spark, 300, seed=42)
+    st = wav_feature_stats(media)
+    return st.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "zero_crossings",
     )
 
 
@@ -633,6 +690,30 @@ def _q_clique_miner(spark, sf_dir):
     return mine_cliques(typed, [["supplier", "supplies", "part"]], sp)
 
 
+def _q_clique_miner_long(spark, sf_dir):
+    # same search, --long_format output: one row per clique node
+    # (transformer.rs:291-307)
+    from dachshund_spark.functions.clique_kernel import SearchProblem
+    from dachshund_spark.operators.clique_miner import mine_cliques
+
+    li = _t(spark, sf_dir, "lineitem")
+    typed = li.select(
+        F.lit(0).cast("long").alias("graph_id"),
+        F.col("l_suppkey").alias("core_id"),
+        F.col("l_partkey").alias("non_core_id"),
+        F.lit("supplies").alias("edge_type"),
+        F.lit("part").alias("non_core_type"),
+    ).distinct()
+    sp = SearchProblem(
+        beam_size=10, alpha=1.0, global_thresh=0.5, local_thresh=0.5,
+        num_to_search=10, num_epochs=30, max_repeated_prior_scores=3,
+        min_degree=2,
+    )
+    return mine_cliques(
+        typed, [["supplier", "supplies", "part"]], sp, long_format=True
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     from dachshund_spark.streaming.events import windowed_event_counts
 
@@ -711,9 +792,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_brokerage_per_user": _q_brokerage_per_user,
         "graph_weighted_core_miner_per_user": _q_weighted_core_miner_per_user,
         "graph_spectral_per_user": _q_spectral_per_user,
+        "graph_approx_stats_per_user": _q_approx_stats_per_user,
         "emb_ann_recall": _q_ann_recall,
+        "emb_ann_clustered_pruning": _q_ann_clustered,
         "media_frame_sample": _q_media_frame_sample,
         "media_feature_stats": _q_media_feature_stats,
+        "media_wav_feature_stats": _q_wav_features,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
         "doc_quality_scores": _q_quality,
@@ -726,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_featurizer_per_user": _q_featurizer_per_user,
         "graph_core_miner_per_user": _q_core_miner_per_user,
         "graph_clique_miner": _q_clique_miner,
+        "graph_clique_miner_long": _q_clique_miner_long,
         "events_hourly_counts": _q_events_hourly,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1131,9 +1216,13 @@ FROM f"""
         O.ora_weighted_core_miner_per_user(d)
     )
     sql["graph_spectral_per_user"] = O.ora_spectral_per_user(d)
+    sql["graph_approx_stats_per_user"] = O.ora_approx_stats_per_user(d)
     sql["graph_featurizer_per_user"] = O.ora_featurizer_per_user(d)
     sql["graph_core_miner_per_user"] = O.ora_core_miner_per_user(d)
     sql["graph_clique_miner"] = O.ora_clique_miner(d)
+    sql["graph_clique_miner_long"] = O.ora_clique_miner_long(d)
     sql["emb_ann_recall"] = O.ora_ann_recall(d)
+    sql["emb_ann_clustered_pruning"] = O.ora_ann_clustered(d)
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
+    sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)
     return sql

@@ -26,6 +26,7 @@ WIDE_SCHEMA = (
     " non_core_ids string, non_core_types string, cliqueness double,"
     " core_densities string, non_core_densities string"
 )
+LONG_SCHEMA = "graph_id long, node_id long, node_type string"
 
 
 def mine_cliques(
@@ -33,9 +34,15 @@ def mine_cliques(
     typespec: list[list[str]],
     search_problem: CK.SearchProblem | None = None,
     graph_col: str = "graph_id",
+    long_format: bool = False,
 ) -> DataFrame:
+    """``long_format=False`` (default): the reference's wide row per graph.
+    ``long_format=True``: one row per clique node — sorted core labels
+    (node_type = the core type) then sorted non-core labels (node_type =
+    the node's non-core type name), mirroring
+    transformer.rs:291-307 / candidate.rs:341-397 (``--long_format``)."""
     sp = search_problem or CK.SearchProblem()
-    _, non_core_types, _, _ = CK.process_typespec(typespec)
+    core_type, non_core_types, _, _ = CK.process_typespec(typespec)
     n_types = len(non_core_types)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -51,11 +58,15 @@ def mine_cliques(
             )
         )
         empty = pd.DataFrame(
-            columns=[
-                graph_col, "num_core", "num_non_core", "core_ids",
-                "non_core_ids", "non_core_types", "cliqueness",
-                "core_densities", "non_core_densities",
-            ]
+            columns=(
+                [graph_col, "node_id", "node_type"]
+                if long_format
+                else [
+                    graph_col, "num_core", "num_non_core", "core_ids",
+                    "non_core_ids", "non_core_types", "cliqueness",
+                    "core_densities", "non_core_densities",
+                ]
+            )
         )
         g = CK.build_typed_graph(rows, typespec, min_degree=sp.min_degree)
         if not g.core_ids or not g.non_core_ids:
@@ -71,6 +82,21 @@ def mine_cliques(
             non_core_types[g.nodes[i].non_core_type - 1]
             for i in sorted(top.non_core_ids)
         ]
+        if long_format:
+            by_label = {
+                rev[i][1]: non_core_types[g.nodes[i].non_core_type - 1]
+                for i in top.non_core_ids
+            }
+            return pd.DataFrame(
+                [
+                    {graph_col: gid, "node_id": c, "node_type": core_type}
+                    for c in core_labels
+                ]
+                + [
+                    {graph_col: gid, "node_id": nc, "node_type": by_label[nc]}
+                    for nc in non_core_labels
+                ]
+            )
         return pd.DataFrame(
             [
                 {
@@ -89,4 +115,6 @@ def mine_cliques(
             ]
         )
 
-    return typed_edges.groupBy(graph_col).applyInPandas(fn, WIDE_SCHEMA)
+    return typed_edges.groupBy(graph_col).applyInPandas(
+        fn, LONG_SCHEMA if long_format else WIDE_SCHEMA
+    )

@@ -63,6 +63,47 @@ def featurize(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
     )
 
 
+def approx_stats_per_graph(
+    edges: DataFrame, samples: int = 200, graph_col: str = GRAPH_COL
+) -> DataFrame:
+    """Seeded sampling approximations + connectivity, one row per graph:
+    (graph_id, is_connected, approx_avg_clustering, approx_transitivity).
+
+    Ports the reference's wedge-sampling estimators (clustering.rs:50-80,
+    transitivity.rs:56-91) and is_connected (connectivity.rs:48-63).
+    Sampling is seeded by ``stable_graph_seed(graph_id)`` so the result is
+    deterministic across executors and retries.  Graphs with no vertex of
+    degree >= 2 have no wedges to sample — both estimators are null."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = _adj_from_pdf(pdf)
+        seed = stable_graph_seed(gid)
+        has_wedge = any(len(nbrs) >= 2 for nbrs in adj.values())
+        return pd.DataFrame(
+            {
+                graph_col: [gid],
+                "is_connected": [K.is_connected(adj)],
+                "approx_avg_clustering": [
+                    K.approx_avg_clustering(adj, samples, seed)
+                    if has_wedge
+                    else None
+                ],
+                "approx_transitivity": [
+                    K.approx_transitivity(adj, samples, seed)
+                    if has_wedge
+                    else None
+                ],
+            }
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, is_connected boolean,"
+        " approx_avg_clustering double, approx_transitivity double",
+    )
+
+
 def core_miner(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFrame:
     """core_miner default output: per node coreness, degree, anomaly,
     sorted by coreness (cf. core_transformer.rs:64-92)."""

@@ -336,6 +336,42 @@ def ora_kpeaks_per_user(d: str) -> str:
     )
 
 
+def ora_approx_stats_per_user(d: str, samples: int = 200) -> str:
+    """Mirror of operators.pergraph.approx_stats_per_graph: seeded wedge
+    sampling + is_connected per user chain graph.  Seed = graph id (user
+    ids are numeric, so stable_graph_seed(gid) == gid)."""
+    from .functions import kernels as K
+
+    rows = []
+    for gid, adj in _user_adjs(d).items():
+        has_wedge = any(len(nbrs) >= 2 for nbrs in adj.values())
+        rows.append(
+            (
+                gid,
+                K.is_connected(adj),
+                K.approx_avg_clustering(adj, samples, int(gid))
+                if has_wedge
+                else None,
+                K.approx_transitivity(adj, samples, int(gid))
+                if has_wedge
+                else None,
+            )
+        )
+    cols = [
+        ("graph_id", "BIGINT"),
+        ("is_connected", "BOOLEAN"),
+        ("approx_avg_clustering", "DOUBLE"),
+        ("approx_transitivity", "DOUBLE"),
+    ]
+    return values_sql(
+        rows,
+        cols,
+        wrap=_round_wrap(
+            cols, {"approx_avg_clustering": 6, "approx_transitivity": 6}
+        ),
+    )
+
+
 def ora_cnm_per_user(d: str) -> str:
     from .functions import kernels as K
 
@@ -480,9 +516,12 @@ def ora_spectral_per_user(d: str) -> str:
     )
 
 
-def ora_clique_miner(d: str) -> str:
-    """In-process mirror of operators.clique_miner.mine_cliques on the
-    supplier-part bipartite graph (same SearchProblem as the query)."""
+@lru_cache(maxsize=4)
+def _clique_search(d: str):
+    """Shared in-process beam search over the supplier-part bipartite
+    graph (same SearchProblem as the gate queries).  Returns
+    (g, top, core_type, non_core_types, n_types) or None when the search
+    yields nothing conforming."""
     from .functions import clique_kernel as CK
 
     con = _con(d)
@@ -496,8 +535,21 @@ def ora_clique_miner(d: str) -> str:
         num_to_search=10, num_epochs=30, max_repeated_prior_scores=3,
         min_degree=2,
     )
-    _, non_core_types, _, _ = CK.process_typespec(typespec)
+    core_type, non_core_types, _, _ = CK.process_typespec(typespec)
     n_types = len(non_core_types)
+    g = CK.build_typed_graph(rows_in, typespec, min_degree=sp.min_degree)
+    if not g.core_ids or not g.non_core_ids:
+        return None
+    beam = CK.Beam(g, sp, graph_key=0, num_non_core_types=n_types)
+    top, _ = beam.run_search()
+    if top.score is None or top.score <= 0:
+        return None
+    return g, top, core_type, non_core_types, n_types
+
+
+def ora_clique_miner(d: str) -> str:
+    """In-process mirror of operators.clique_miner.mine_cliques on the
+    supplier-part bipartite graph (same SearchProblem as the query)."""
     cols = [
         ("graph_id", "BIGINT"), ("num_core", "INTEGER"),
         ("num_non_core", "INTEGER"), ("core_ids", "VARCHAR"),
@@ -505,13 +557,10 @@ def ora_clique_miner(d: str) -> str:
         ("cliqueness", "DOUBLE"), ("core_densities", "VARCHAR"),
         ("non_core_densities", "VARCHAR"),
     ]
-    g = CK.build_typed_graph(rows_in, typespec, min_degree=sp.min_degree)
-    if not g.core_ids or not g.non_core_ids:
+    found = _clique_search(d)
+    if found is None:
         return values_sql([], cols)
-    beam = CK.Beam(g, sp, graph_key=0, num_non_core_types=n_types)
-    top, _ = beam.run_search()
-    if top.score is None or top.score <= 0:
-        return values_sql([], cols)
+    g, top, _core_type, non_core_types, n_types = found
     rev = g.reverse_labels_map
     core_labels = sorted(rev[i][1] for i in top.core_ids)
     non_core_labels = sorted(rev[i][1] for i in top.non_core_ids)
@@ -526,6 +575,27 @@ def ora_clique_miner(d: str) -> str:
         json.dumps(top.get_non_core_densities(n_types)),
     )
     return values_sql([row], cols)
+
+
+def ora_clique_miner_long(d: str) -> str:
+    """Long-format mirror (one row per clique node,
+    transformer.rs:291-307 / candidate.rs:341-397)."""
+    cols = [
+        ("graph_id", "BIGINT"), ("node_id", "BIGINT"),
+        ("node_type", "VARCHAR"),
+    ]
+    found = _clique_search(d)
+    if found is None:
+        return values_sql([], cols)
+    g, top, core_type, non_core_types, _n_types = found
+    rev = g.reverse_labels_map
+    rows = [(0, int(c), core_type) for c in sorted(rev[i][1] for i in top.core_ids)]
+    by_label = {
+        rev[i][1]: non_core_types[g.nodes[i].non_core_type - 1]
+        for i in top.non_core_ids
+    }
+    rows += [(0, int(nc), by_label[nc]) for nc in sorted(by_label)]
+    return values_sql(rows, cols)
 
 
 def ora_ann_recall(d: str, k: int = 10, n_planes: int = 3,
@@ -575,6 +645,109 @@ def ora_ann_recall(d: str, k: int = 10, n_planes: int = 3,
         rows.append((int(ids[qi]), len(exact & approx) / float(k)))
     cols = [("query_id", "BIGINT"), ("recall", "DOUBLE")]
     return values_sql(rows, cols, wrap=_round_wrap(cols, {"recall": 6}))
+
+
+def ora_wav_feature_stats(
+    d: str,
+    n: int = 300,
+    seed: int = 42,
+    sample_rate: int = 8000,
+    n_samples: int = 1600,
+) -> str:
+    """Expected output of multimodal.wav_feature_stats over
+    synthesize_wav_media(n, seed): the SAMPLES are regenerated directly
+    (same sine math, same int16 quantization) and the features computed
+    from them — deliberately skipping the RIFF/WAVE container, so a gate
+    match proves the Spark side's stdlib encode -> decode round trip is
+    lossless."""
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    rows = []
+    for i in range(n):
+        freq = 100.0 + (i * 37 + seed) % 900
+        amp = 0.25 + ((i * 13 + seed) % 50) / 100.0
+        x = (
+            (amp * np.sin(2 * np.pi * freq * t) * 32767.0)
+            .astype("<i2")
+            .astype(np.float64)
+            / 32768.0
+        )
+        rms = float(np.sqrt((x * x).mean()))
+        peak = float(np.abs(x).max())
+        zc = int(((x[:-1] * x[1:]) < 0).sum())
+        rows.append((i, n_samples, sample_rate, rms, peak, zc))
+    cols = [
+        ("media_id", "BIGINT"),
+        ("n_samples", "INTEGER"),
+        ("sample_rate", "INTEGER"),
+        ("rms", "DOUBLE"),
+        ("peak", "DOUBLE"),
+        ("zero_crossings", "INTEGER"),
+    ]
+    return values_sql(
+        rows, cols, wrap=_round_wrap(cols, {"rms": 6, "peak": 6})
+    )
+
+
+def ora_ann_clustered(
+    d: str,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 50,
+    sigma: float = 0.05,
+    seed: int = 7,
+    n_queries: int = 16,
+    k: int = 10,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    lsh_seed: int = 42,
+) -> str:
+    """numpy mirror of similarity.synthesize_clustered_embeddings +
+    ann_recall_stats: regenerates the exact float32 fixture bytes from the
+    (seed, cluster)/(seed, vec_id) rng streams, then computes per-query
+    recall@k and candidate fraction with the same seeded hyperplanes."""
+    import numpy as np
+
+    from .functions.similarity import lsh_planes
+
+    mat32 = np.empty((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = i % n_clusters
+        center = np.random.default_rng(seed * 1_000_003 + c).standard_normal(dim)
+        center /= np.linalg.norm(center)
+        noise = np.random.default_rng(seed * 2_000_003 + i).standard_normal(dim)
+        mat32[i] = (center + sigma * noise).astype(np.float32)
+    mat = mat32.astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = []
+    for t in range(n_tables):
+        planes = lsh_planes(dim, n_planes, lsh_seed, t)
+        buckets.append(((mat @ planes) > 0) @ weights)
+    rows = []
+    for qi in range(n_queries):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(n) if i != qi), key=lambda i: (-cos[i], i)
+        )
+        exact = set(order[:k])
+        cand: set = set()
+        for t in range(n_tables):
+            cand.update(int(i) for i in np.nonzero(buckets[t] == buckets[t][qi])[0])
+        cand.discard(qi)
+        approx = set(sorted(cand, key=lambda i: (-cos[i], i))[:k])
+        rows.append(
+            (qi, len(exact & approx) / float(k), len(cand) / float(n - 1))
+        )
+    cols = [
+        ("query_id", "BIGINT"),
+        ("recall", "DOUBLE"),
+        ("cand_fraction", "DOUBLE"),
+    ]
+    return values_sql(
+        rows, cols, wrap=_round_wrap(cols, {"recall": 6, "cand_fraction": 6})
+    )
 
 
 def ora_media_feature_stats(d: str, n: int = 500, seed: int = 42,

@@ -58,6 +58,39 @@ def test_example_txt_clique_miner_e2e(spark):
     assert json.loads(r["non_core_densities"]) == [1.0]
 
 
+def test_example_txt_clique_miner_long_format_e2e(spark):
+    # --long_format (transformer.rs:291-307): one row per clique node,
+    # sorted cores (type = core type) then sorted non-cores (their type)
+    from dachshund_spark.functions.clique_kernel import SearchProblem
+    from dachshund_spark.operators.clique_miner import mine_cliques
+    from dachshund_spark.sources.tsv import intern_graph_keys, read_typed_edges
+
+    edges, _ = read_typed_edges(spark, EXAMPLE)
+    edges_i, _ = intern_graph_keys(edges)
+    typed = edges_i.select(
+        "graph_id",
+        "core_id",
+        F.col("non_core_id").cast("long").alias("non_core_id"),
+        "edge_type",
+        "non_core_type",
+    )
+    sp = SearchProblem(
+        beam_size=20, alpha=0.1, global_thresh=1.0, local_thresh=1.0,
+        num_to_search=10, num_epochs=200, max_repeated_prior_scores=3,
+        min_degree=1,
+    )
+    out = mine_cliques(
+        typed, [["author", "published", "article"]], sp, long_format=True
+    )
+    rows = sorted(
+        (r["node_id"], r["node_type"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "author"), (2, "author"), (3, "article"), (5, "article"),
+    ]
+
+
 def test_weighted_example_txt_core_miner_e2e(spark):
     from dachshund_spark.functions import kernels as K
     from dachshund_spark.operators.pergraph import weighted_core_miner

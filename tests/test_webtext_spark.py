@@ -199,6 +199,28 @@ def test_cosine_topk_and_lsh(spark):
     assert recall >= 0.4
 
 
+def test_ann_clustered_pruning(spark):
+    # the LSH scale-win demonstration (the thresholds
+    # emb_ann_clustered_pruning's docstring pins): on clustered data the
+    # bucketed path must reach recall >= 0.9 while examining < 10% of the
+    # corpus per query — otherwise the approximate operator has no reason
+    # to exist at 100 TB
+    emb = S.synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    ).persist()
+    queries = emb.filter(F.col("vec_id") < 16)
+    rows = S.ann_recall_stats(
+        emb, queries, k=10, n_planes=10, n_tables=16, seed=42, dim=32
+    ).collect()
+    emb.unpersist()
+    assert len(rows) == 16
+    recalls = [r["recall"] for r in rows]
+    fracs = [r["cand_fraction"] for r in rows]
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert min(recalls) >= 0.9
+    assert max(fracs) < 0.10
+
+
 def test_multimodal_plumbing(spark):
     media = M.synthesize_media(spark, 30)
     feats = M.extract_features(media, dim=8, deterministic_fake=True)
@@ -212,6 +234,35 @@ def test_multimodal_plumbing(spark):
     assert plan.groupBy("media_id").count().count() == media.filter(
         F.col("kind") == "video"
     ).count()
+
+
+def test_wav_codec_real_roundtrip(spark):
+    # the non-fake codec path: genuine RIFF/WAVE bytes, stdlib decode
+    import io
+    import wave as wavmod
+
+    media = M.synthesize_wav_media(spark, 12, seed=42)
+    rows = media.collect()
+    assert len(rows) == 12
+    # the payloads must be real WAV containers any tool can open
+    w = wavmod.open(io.BytesIO(bytes(rows[0]["payload"])), "rb")
+    assert w.getframerate() == 8000 and w.getsampwidth() == 2
+    assert rows[0]["meta"]["codec"] == "pcm_s16le"
+
+    feats = {r["media_id"]: r for r in M.wav_feature_stats(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert r["n_samples"] == 1600 and r["sample_rate"] == 8000
+        amp = 0.25 + ((mid * 13 + 42) % 50) / 100.0
+        # RMS of a sine tone is amp/sqrt(2) up to quantization
+        assert abs(r["rms"] - amp / 2**0.5) < 0.01
+        assert abs(r["peak"] - amp) < 0.01
+        # ~2 zero crossings per cycle; int16 truncation makes near-zero
+        # samples exactly 0, which the strict sign-product test skips, so
+        # the measured count runs a few percent under the analytic one
+        freq = 100.0 + (mid * 37 + 42) % 900
+        expect = 2 * freq * 0.2
+        assert 0.85 * expect <= r["zero_crossings"] <= expect + 3
 
 
 def test_streaming_matches_batch(spark, tmp_path):
