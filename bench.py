@@ -164,7 +164,40 @@ def run_bench(
         "triangles": stats["triangles"],
         "transitivity": round(stats["transitivity"], 6),
     }
+
+    # --- iterative peel/propagation family at the SF dir: the scale
+    # proof that the anti-join peel loops + stats-reset lineage cuts hold
+    # a decade above the correctness gate (sf0.01), not just at it ---
+    from dachshund_spark.operators.components import (
+        connected_components_two_phase,
+        strongly_connected_components,
+    )
+    from dachshund_spark.operators.coreness import coreness, k_truss_edges
+
+    t0 = time.time()
+    cor = coreness(cp)
+    extras["max_coreness"] = cor.agg(F.max("coreness")).collect()[0][0]
+    queries["coreness_full_graph"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_truss = k_truss_edges(cp, 60).count()
+    queries["k_truss_k60"] = round(time.time() - t0, 3)
+    extras["k_truss_k60_edges"] = n_truss
     cp.unpersist()
+
+    t0 = time.time()
+    scc = strongly_connected_components(
+        entrymod.event_cyc_edges(spark, sf_dir), max_outer=60
+    )
+    scc.count()
+    queries["scc_event_digraph"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cc2 = connected_components_two_phase(
+        entrymod.event_chain_edges(spark, sf_dir)
+    )
+    cc2.count()
+    queries["cc_twophase_event_chains"] = round(time.time() - t0, 3)
 
     # --- SQL aggregations ---
     for name in ("tpch_q1_pricing_summary", "events_user_activity", "doc_quality_scores"):

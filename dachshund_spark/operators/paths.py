@@ -17,7 +17,18 @@ from .builders import symmetrized, vertices
 
 def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> DataFrame:
     """DataFrame[v, dist] for vertices reachable from source (directed
-    edges as given; symmetrize upstream for undirected semantics)."""
+    edges as given; symmetrize upstream for undirected semantics).
+
+    Lineage discipline: each depth's plan references the previous
+    ``dist`` TWICE (the frontier anti-join and the union), so the
+    uncut logical plan doubles per depth — 2^k nodes between cuts, which
+    by ~depth 8 OOMs the plan stringifier on a non-trivial base plan.
+    Every 3 depths both the distance table AND the frontier are rebased
+    onto the checkpoint leaf (the frontier is re-derived as
+    ``dist == depth`` rather than kept as its own chained DataFrame,
+    which would otherwise carry the uncut history across cut points)."""
+    from ..plans.superstep import cut_lineage
+
     spark = edges.sparkSession
     adj = edges.select("src", "dst").repartition("src").persist()
     adj.count()
@@ -37,21 +48,19 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
             nxt.unpersist()
             break
         new_dist = dist.union(nxt)
-        # lineage cut every few depths: the dist union chain otherwise
-        # grows linearly with graph diameter (and replays in full on a
-        # lost partition) — same discipline as plans/superstep.py
-        if depth % 8 == 0:
-            from ..plans.superstep import cut_lineage
-
+        if depth % 3 == 0:
             new_dist = cut_lineage(new_dist)
+            new_frontier = new_dist.filter(F.col("dist") == depth)
+            nxt.unpersist()
         else:
             new_dist = new_dist.persist()
             new_dist.count()
+            new_frontier = nxt
         dist.unpersist()
         if frontier is not dist:
             frontier.unpersist()
         dist = new_dist
-        frontier = nxt
+        frontier = new_frontier
     if frontier is not dist:
         frontier.unpersist()
     adj.unpersist()

@@ -232,7 +232,9 @@ def spectral_per_graph(edges: DataFrame, graph_col: str = GRAPH_COL) -> DataFram
                 graph_col: [gid],
                 "n_nodes": [len(adj)],
                 "n_edges": [K.count_edges(adj)],
-                "algebraic_connectivity": [round(float(fiedler), 6)],
+                # + 0.0 folds IEEE -0.0 (disconnected graphs round to a
+                # signed zero) to +0.0 so both gate sides agree
+                "algebraic_connectivity": [round(float(fiedler), 6) + 0.0],
             }
         )
 

@@ -502,7 +502,10 @@ def ora_spectral_per_user(d: str) -> str:
                 gid,
                 len(adj),
                 K.count_edges(adj),
-                round(float(K.algebraic_connectivity(adj)), 6),
+                # + 0.0: fold -0.0 to +0.0 (DuckDB's untyped VALUES rows
+                # parse -0.0 via DECIMAL and drop the sign; the Spark side
+                # normalizes identically in pergraph.spectral_per_graph)
+                round(float(K.algebraic_connectivity(adj)), 6) + 0.0,
             )
         )
     return values_sql(

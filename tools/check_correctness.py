@@ -114,6 +114,15 @@ def main():
         print(
             f"{status}  {name}: {len(gv)} rows [spark {spark_s:.1f}s, duckdb {duck_s:.1f}s]{msg}"
         )
+        # between-query hygiene: drop leftover caches and release py4j
+        # proxies so the JVM ContextCleaner can free localCheckpoint RDD
+        # blocks — a 55-query sf0.1 run otherwise accumulates enough
+        # driver-heap block data to OOM near the end of the session
+        spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)
