@@ -180,9 +180,9 @@ def run_bench(
     queries["coreness_full_graph"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    n_truss = k_truss_edges(cp, 60).count()
-    queries["k_truss_k60"] = round(time.time() - t0, 3)
-    extras["k_truss_k60_edges"] = n_truss
+    n_truss = k_truss_edges(cp, 10).count()
+    queries["k_truss_k10"] = round(time.time() - t0, 3)
+    extras["k_truss_k10_edges"] = n_truss
     cp.unpersist()
 
     t0 = time.time()

@@ -203,6 +203,25 @@ def test_distributed_weighted_coreness(spark):
         assert got == want, idx
 
 
+def test_coreness_hindex_matches_peel(spark):
+    # the h-index fixpoint (scale default) and the level-synchronized
+    # peel must agree exactly — both equal the kernel's core numbers
+    from dachshund_spark.operators.coreness import coreness_peel
+
+    for fixture in (
+        KARATE_CLUB_EDGES,
+        simple_graph_edges(7),
+        [(0, i) for i in range(1, 7)],  # star: isolated-survivor case
+        [(i, i + 1) for i in range(20)],  # path: all-coreness-1
+    ):
+        e = B.edges_df(spark, fixture)
+        want = K.coreness_values(K.build_undirected_adj(fixture))
+        got_h = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+        got_p = {r["v"]: r["coreness"] for r in coreness_peel(e).collect()}
+        assert got_h == want
+        assert got_p == want
+
+
 def test_coreness_star_center_assigned(spark):
     # regression: a vertex isolated by a single peel round (star center)
     # must still receive the shell value
