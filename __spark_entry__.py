@@ -714,6 +714,35 @@ def _q_clique_miner_long(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    # built-in session_window (JVM merging state, batch/stream shared
+    # definition); oracle = gaps-and-islands SQL.  Spark's session end is
+    # last event + gap; a new event starts a new session iff its distance
+    # to the previous event is >= the gap (half-open windows).
+    from dachshund_spark.streaming.events import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+def _q_emb_near_dups(spark, sf_dir):
+    # embedding-cosine near-duplicate detection, LSH path: bucket
+    # self-join candidates -> exact cosine >= 0.9 re-check.  Fixture is
+    # clustered (same-cluster cosine ~0.93), so the operator both prunes
+    # (no cross join) and recovers the true pair set; recall vs exact is
+    # pinned by tests/test_webtext_spark.py::test_embedding_near_dups.
+    from dachshund_spark.functions.dedup import embedding_near_duplicates
+    from dachshund_spark.functions.similarity import (
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 600, dim=32, n_clusters=30, sigma=0.05, seed=11
+    )
+    return embedding_near_duplicates(
+        emb, threshold=0.9, n_planes=10, n_tables=16, seed=42, dim=32
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     from dachshund_spark.streaming.events import windowed_event_counts
 
@@ -812,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clique_miner": _q_clique_miner,
         "graph_clique_miner_long": _q_clique_miner_long,
         "events_hourly_counts": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "doc_embedding_near_dups": _q_emb_near_dups,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_nation_orders": _q_nation_orders,
@@ -1105,6 +1136,27 @@ SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
                             ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10"""
+    sql["events_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid"""
     sql["events_hourly_counts"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
@@ -1223,6 +1275,7 @@ FROM f"""
     sql["graph_clique_miner_long"] = O.ora_clique_miner_long(d)
     sql["emb_ann_recall"] = O.ora_ann_recall(d)
     sql["emb_ann_clustered_pruning"] = O.ora_ann_clustered(d)
+    sql["doc_embedding_near_dups"] = O.ora_embedding_near_dups(d)
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)
     return sql

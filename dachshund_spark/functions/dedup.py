@@ -252,6 +252,57 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) with
+    vec_a < vec_b and cosine >= threshold.
+
+    ``exact=False`` (the scale default): hyperplane-LSH bucket self-join
+    generates candidates, exact cosine re-checks them — only same-bucket
+    vectors shuffle, so the pair set is near-linear on clustered corpora
+    (the all-pairs cross join never happens).  Recall is governed by
+    (n_planes, n_tables); the clustered-fixture pytest pins it >= 0.99 at
+    the defaults.  ``exact=True`` is the all-pairs verification baseline.
+    """
+    from .similarity import cosine_col, lsh_candidate_pairs_emb
+
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    if exact:
+        a = embeddings.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        b = embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        cands = a.crossJoin(b).filter(
+            F.col("query_id") < F.col("neighbor_id")
+        )
+    else:
+        cands = lsh_candidate_pairs_emb(
+            embeddings, embeddings, n_planes, n_tables, seed, dim
+        ).filter(F.col("query_id") < F.col("neighbor_id"))
+    scored = cands.select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        cosine_col(
+            F.col("q_emb").cast("array<double>"),
+            F.col("c_emb").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def simhash_candidate_pairs(docs: DataFrame, bands: int = 4) -> DataFrame:
     """Hamming-near candidates: split the 64-bit signature into ``bands``
     16-bit bands; docs sharing any band are candidates (Hamming distance

@@ -650,6 +650,65 @@ def ora_ann_recall(d: str, k: int = 10, n_planes: int = 3,
     return values_sql(rows, cols, wrap=_round_wrap(cols, {"recall": 6}))
 
 
+def _clustered_matrix(n, dim, n_clusters, sigma, seed):
+    """numpy mirror of similarity.synthesize_clustered_embeddings — same
+    rng streams, same float32 quantization."""
+    import numpy as np
+
+    mat32 = np.empty((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = i % n_clusters
+        center = np.random.default_rng(seed * 1_000_003 + c).standard_normal(dim)
+        center /= np.linalg.norm(center)
+        noise = np.random.default_rng(seed * 2_000_003 + i).standard_normal(dim)
+        mat32[i] = (center + sigma * noise).astype(np.float32)
+    return mat32.astype(np.float64)
+
+
+def ora_embedding_near_dups(
+    d: str,
+    n: int = 600,
+    dim: int = 32,
+    n_clusters: int = 30,
+    sigma: float = 0.05,
+    seed: int = 11,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    lsh_seed: int = 42,
+) -> str:
+    """numpy mirror of dedup.embedding_near_duplicates (LSH path) on the
+    clustered fixture: same bucket tables, same cosine >= threshold
+    re-check."""
+    import numpy as np
+
+    from .functions.similarity import lsh_planes
+
+    mat = _clustered_matrix(n, dim, n_clusters, sigma, seed)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    pairs: set = set()
+    for t in range(n_tables):
+        planes = lsh_planes(dim, n_planes, lsh_seed, t)
+        b = ((mat @ planes) > 0) @ weights
+        order = {}
+        for i, bk in enumerate(b):
+            order.setdefault(int(bk), []).append(i)
+        for members in order.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pairs.add((members[x], members[y]))
+    rows = []
+    for a, bb in sorted(pairs):
+        cos = float(mat[a] @ mat[bb] / (norms[a] * norms[bb]))
+        # filter on the RAW cosine, round only for output — same order of
+        # operations as the Spark side
+        if cos >= threshold:
+            rows.append((a, bb, round(cos, 6)))
+    cols = [("vec_a", "BIGINT"), ("vec_b", "BIGINT"), ("cosine", "DOUBLE")]
+    return values_sql(rows, cols, wrap=_round_wrap(cols, {"cosine": 6}))
+
+
 def ora_wav_feature_stats(
     d: str,
     n: int = 300,

@@ -49,6 +49,47 @@ def user_activity(events: DataFrame) -> DataFrame:
     )
 
 
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (events closer than ``gap`` merge into one
+    session): (user_id, session_start, session_end, n_events,
+    total_value).  Uses the built-in ``session_window`` — JVM-side merging
+    state, no Python — and works identically on batch and (with a
+    watermark) streaming inputs; ``session_end`` is Spark's convention of
+    last event + gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_stats(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming form of ``session_stats``: file source + watermark (the
+    watermark bounds session-merging state for late data — sessions older
+    than the watermark finalize and evict)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(path)
+        .withWatermark("ts", watermark)
+    )
+    return session_stats(stream, gap)
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     path: str,

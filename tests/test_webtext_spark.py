@@ -287,6 +287,65 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_stream_matches_batch(spark, tmp_path):
+    import os
+
+    from dachshund_spark.streaming import events as E
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["total_value"]
+        )
+        for r in E.session_stats(batch, "30 minutes").collect()
+    }
+    assert want  # non-degenerate fixture
+    stream_dir = tmp_path / "events_sess"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_DIR}/events.parquet", stream_dir / "part-0.parquet")
+    sdf = E.stream_session_stats(spark, str(stream_dir), "30 minutes")
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("evt_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["total_value"]
+        )
+        for r in spark.sql("SELECT * FROM evt_sessions").collect()
+    }
+    assert got == want
+
+
+def test_embedding_near_dups(spark):
+    # LSH near-dup path must recover >= 99% of the exact pair set on the
+    # clustered fixture while never producing a wrong pair (the cosine
+    # re-check makes precision exact by construction)
+    from dachshund_spark.functions.dedup import embedding_near_duplicates
+
+    emb = S.synthesize_clustered_embeddings(
+        spark, 600, dim=32, n_clusters=30, sigma=0.05, seed=11
+    ).persist()
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(emb, 0.9, dim=32).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(emb, 0.9, dim=32, exact=True).collect()
+    }
+    emb.unpersist()
+    assert exact  # non-degenerate
+    assert lsh <= exact  # exact-precision by construction
+    assert len(lsh) / len(exact) >= 0.99
+    # near-dups on this fixture are same-cluster pairs
+    assert all(a % 30 == b % 30 for a, b in exact)
+
+
 def test_ann_recall_gate(spark):
     """The LSH-bucketed path must reach recall@10 >= 0.9 vs the exact
     baseline with the driver-gate configuration (3 planes x 16 tables on
