@@ -245,40 +245,58 @@ def connected_components_two_phase(
     )
 
 
-def _directed_min_labels(
+def _bidirectional_min_labels(
     edges: DataFrame, verts: DataFrame, max_iter: int
 ) -> DataFrame:
-    """Hash-min label propagation along DIRECTED edges to fixpoint:
-    label(v) = min id over {v} ∪ {label(u) : u -> v} — i.e. the minimum
-    vertex id that can reach v.  Returns DataFrame[v, label].  One driver
-    action per superstep; lineage cut every 3.  Raises if ``max_iter``
-    supersteps pass with changes still pending — truncated labels are not
-    constant across an SCC, so a caller (strongly_connected_components)
-    could silently settle a strict subset of a large-diameter SCC."""
-    adj = edges.repartition("src").persist()
+    """Forward AND backward hash-min label propagation fused into one
+    superstep loop: state carries (v, f, b) where f(v) = min id that
+    reaches v along edges and b(v) = min id v reaches (propagation along
+    reversed edges).  One direction-tagged adjacency, ONE join + ONE
+    aggregate + ONE driver action per superstep serves both directions,
+    so the superstep count is max(f-depth, b-depth) instead of their sum
+    — half the driver rounds of two sequential propagations.
+
+    Raises if ``max_iter`` supersteps pass with changes pending (a
+    truncated label set would let strongly_connected_components silently
+    split a large-diameter SCC)."""
+    fwd = edges.select("src", "dst", F.lit(True).alias("isf"))
+    bwd = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(False).alias("isf"),
+    )
+    adj = fwd.union(bwd).repartition("src").persist()
     adj.count()
-    state = verts.select("v", F.col("v").alias("label")).persist()
+    state = verts.select(
+        "v", F.col("v").alias("f"), F.col("v").alias("b")
+    ).persist()
     state.count()
     converged = False
     for i in range(max_iter):
         msgs = adj.join(state, adj.src == state.v).select(
-            F.col("dst").alias("v"), "label"
+            F.col("dst").alias("v"),
+            "isf",
+            F.when(F.col("isf"), F.col("f")).otherwise(F.col("b")).alias("lbl"),
         )
-        best = msgs.groupBy("v").agg(F.min("label").alias("cand"))
+        best = msgs.groupBy("v").agg(
+            F.min(F.when(F.col("isf"), F.col("lbl"))).alias("fc"),
+            F.min(F.when(~F.col("isf"), F.col("lbl"))).alias("bc"),
+        )
         new_state = state.join(best, "v", "left").select(
             "v",
-            F.least(
-                F.col("label"), F.coalesce("cand", F.col("label"))
-            ).alias("label"),
-            (F.coalesce("cand", F.col("label")) < F.col("label")).alias(
-                "chg"
-            ),
+            F.least(F.col("f"), F.coalesce("fc", F.col("f"))).alias("f"),
+            F.least(F.col("b"), F.coalesce("bc", F.col("b"))).alias("b"),
+            (
+                (F.coalesce("fc", F.col("f")) < F.col("f"))
+                | (F.coalesce("bc", F.col("b")) < F.col("b"))
+            ).alias("chg"),
         )
         if (i + 1) % 3 == 0:
             new_state = cut_lineage(new_state)
         else:
             new_state = new_state.persist()
-        agg = new_state.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]
+        agg = new_state.agg(
+            F.sum(F.col("chg").cast("long")).alias("c")
+        ).collect()[0]
         state.unpersist()
         state = new_state
         if not agg["c"]:
@@ -286,10 +304,10 @@ def _directed_min_labels(
             break
     if not converged:
         raise RuntimeError(
-            f"directed min-label propagation did not reach fixpoint in "
-            f"{max_iter} supersteps; raise max_iter"
+            f"bidirectional min-label propagation did not reach fixpoint "
+            f"in {max_iter} supersteps; raise max_iter"
         )
-    out = state.select("v", "label")
+    out = state.select("v", "f", "b")
     adj.unpersist()
     return out
 
@@ -322,18 +340,10 @@ def strongly_connected_components(
     for _ in range(max_outer):
         if n_left == 0:
             break
-        fwd = _directed_min_labels(cur, remaining, max_iter)
-        bwd = _directed_min_labels(
-            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            remaining,
-            max_iter,
-        )
-        joined = fwd.join(
-            bwd.withColumnRenamed("label", "blabel"), "v"
-        )
+        labels = _bidirectional_min_labels(cur, remaining, max_iter)
         settled = cut_lineage(
-            joined.filter(F.col("label") == F.col("blabel")).select(
-                "v", F.col("label").alias("component")
+            labels.filter(F.col("f") == F.col("b")).select(
+                "v", F.col("f").alias("component")
             )
         )
         results.append(settled)
