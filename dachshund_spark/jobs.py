@@ -1,12 +1,17 @@
 """spark-submit entry points (north_rule: 'ships as spark-submit
 --py-files jobs').
 
+Inputs/outputs accept EITHER a parquet path or an Iceberg/catalog table
+reference (``iceberg:<catalog>.<db>.<table>`` or ``table:<name>``) — see
+sources/io.py; on a cluster with an Iceberg catalog configured the same
+CLI runs against catalog tables verbatim.
+
 Usage:
   spark-submit --py-files dachshund_spark.zip -m dachshund_spark.jobs \
       <job> [options]
 
 Jobs:
-  extract     pages parquet -> edge table parquet (+ url dim)
+  extract     pages table/parquet -> edge table (+ url dim)
   pagerank    edge parquet -> (v, pagerank) parquet; resumable
   cc          edge parquet -> (v, component) parquet; resumable
   lp          edge parquet -> (v, label) parquet
@@ -26,9 +31,12 @@ import json
 import sys
 
 from .session import get_spark
+from .sources.io import read_table, write_table
 
 
-def main(argv=None):
+def main(argv=None, _spark=None):
+    """``_spark``: session injection for in-process tests (skips the
+    get_spark/stop lifecycle the CLI owns)."""
     p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
     p.add_argument("job", choices=[
         "extract", "pagerank", "cc", "lp", "triangles", "coreness",
@@ -48,7 +56,7 @@ def main(argv=None):
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
 
-    spark = get_spark(
+    spark = _spark or get_spark(
         app_name=f"dachshund_{args.job}",
         shuffle_partitions=args.shuffle_partitions,
     )
@@ -76,13 +84,13 @@ def main(argv=None):
         from .functions.extraction import extract
         from .sources.pages import edges_from_extracted
 
-        pages = spark.read.parquet(args.input)
+        pages = read_table(spark, args.input)
         edges = edges_from_extracted(extract(pages))
-        edges.write.mode("overwrite").parquet(args.output)
+        write_table(edges, args.output)
     elif args.job == "pagerank":
         from .operators.pagerank import pagerank
 
-        edges = spark.read.parquet(args.input)
+        edges = read_table(spark, args.input)
         out, res = pagerank(
             edges,
             damping=args.damping,
@@ -93,7 +101,7 @@ def main(argv=None):
             include_metrics=True,
             block_size=args.block_size,
         )
-        out.write.mode("overwrite").parquet(args.output)
+        write_table(out, args.output)
         print(json.dumps({
             "iterations": res.iterations,
             "converged": res.converged,
@@ -102,41 +110,42 @@ def main(argv=None):
     elif args.job == "cc":
         from .operators.components import connected_components
 
-        edges = spark.read.parquet(args.input)
+        edges = read_table(spark, args.input)
         out = connected_components(edges, max_iter=args.max_iter, checkpointer=cp)
-        out.write.mode("overwrite").parquet(args.output)
+        write_table(out, args.output)
     elif args.job == "lp":
         from .operators.label_propagation import label_propagation
 
-        edges = spark.read.parquet(args.input)
+        edges = read_table(spark, args.input)
         out = label_propagation(edges, max_iter=args.max_iter, checkpointer=cp)
-        out.write.mode("overwrite").parquet(args.output)
+        write_table(out, args.output)
     elif args.job == "triangles":
         from .operators.triangles import global_stats, triangle_counts
 
-        edges = spark.read.parquet(args.input)
-        triangle_counts(edges).write.mode("overwrite").parquet(args.output)
+        edges = read_table(spark, args.input)
+        write_table(triangle_counts(edges), args.output)
         print(json.dumps(global_stats(edges)))
     elif args.job == "coreness":
         from .operators.coreness import coreness
 
-        edges = spark.read.parquet(args.input)
-        coreness(edges).write.mode("overwrite").parquet(args.output)
+        edges = read_table(spark, args.input)
+        write_table(coreness(edges), args.output)
     elif args.job == "featurize":
         from .operators.pergraph import featurize
 
-        edges = spark.read.parquet(args.input)
-        featurize(edges).write.mode("overwrite").parquet(args.output)
+        edges = read_table(spark, args.input)
+        write_table(featurize(edges), args.output)
     elif args.job == "cliques":
         from .functions.clique_kernel import SearchProblem
         from .operators.clique_miner import mine_cliques
 
         typespec = json.loads(args.typespec)
-        edges = spark.read.parquet(args.input)
-        mine_cliques(edges, typespec, SearchProblem()).write.mode(
-            "overwrite"
-        ).parquet(args.output)
-    spark.stop()
+        edges = read_table(spark, args.input)
+        write_table(
+            mine_cliques(edges, typespec, SearchProblem()), args.output
+        )
+    if _spark is None:
+        spark.stop()
 
 
 if __name__ == "__main__":

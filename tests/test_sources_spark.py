@@ -103,3 +103,43 @@ def test_min_degree_prune(spark):
     e = B.edges_df(spark, [(0, 1), (0, 2), (0, 3), (10, 11), (11, 12), (12, 10)])
     kept = {(r["src"], r["dst"]) for r in B.min_degree_prune(e, 2).collect()}
     assert kept == {(10, 11), (11, 12), (10, 12)}
+
+
+def test_jobs_cli_end_to_end(spark, tmp_path):
+    # spark-submit surface: extract -> pagerank over BOTH source syntaxes
+    # (parquet path and catalog table ref via the sources/io shim)
+    import json
+
+    from dachshund_spark import jobs
+    from dachshund_spark.sources.io import read_table, write_table
+    from dachshund_spark.sources.pages import synthesize_pages
+
+    pages_path = str(tmp_path / "pages")
+    edges_path = str(tmp_path / "edges")
+    pr_path = str(tmp_path / "pr")
+    synthesize_pages(spark, 500, n_sites=13, n_hubs=4, seed=1).write.parquet(
+        pages_path
+    )
+    jobs.main(
+        ["extract", "--input", pages_path, "--output", edges_path],
+        _spark=spark,
+    )
+    edges = spark.read.parquet(edges_path)
+    assert edges.count() > 0 and sorted(edges.columns) == ["dst", "src"]
+
+    # table-ref branch: write the edge table into the session catalog and
+    # read it back through the same shim the CLI uses
+    write_table(edges, "table:edges_cli_t")
+    assert read_table(spark, "table:edges_cli_t").count() == edges.count()
+    jobs.main(
+        [
+            "pagerank", "--input", "table:edges_cli_t",
+            "--output", pr_path, "--max-iter", "5", "--tol", "0",
+        ],
+        _spark=spark,
+    )
+    pr = spark.read.parquet(pr_path)
+    assert pr.count() == edges.selectExpr(
+        "src as v"
+    ).union(edges.selectExpr("dst as v")).distinct().count()
+    assert abs(sum(r["pagerank"] for r in pr.collect()) - 1.0) < 1e-6
