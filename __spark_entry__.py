@@ -298,6 +298,19 @@ def _q_cc_paths(spark, sf_dir):
     return connected_components(event_chain_edges(spark, sf_dir), max_iter=50)
 
 
+def _q_cc_discovery_order(spark, sf_dir):
+    # to_discovery_order's two-pass distributed dense rank (range
+    # partitions + per-partition offsets — no global single-reducer
+    # window), hash-checked against SQL dense_rank
+    from dachshund_spark.operators.components import (
+        connected_components,
+        to_discovery_order,
+    )
+
+    cc = connected_components(event_chain_edges(spark, sf_dir), max_iter=50)
+    return to_discovery_order(cc)
+
+
 def _q_cc_giant(spark, sf_dir):
     from dachshund_spark.operators.components import connected_components
 
@@ -797,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coefficient": _q_clustering,
         "graph_connected_components_paths": _q_cc_paths,
         "graph_connected_components_giant": _q_cc_giant,
+        "graph_cc_discovery_order": _q_cc_discovery_order,
         "graph_pagerank_5iter": _q_pagerank,
         "graph_pagerank_csr_5iter": _q_pagerank_csr,
         "graph_label_propagation_2iter": _q_label_propagation,
@@ -989,6 +1003,19 @@ FROM ev e JOIN (
   FROM ev GROUP BY user_id, day
 ) m ON e.user_id = m.user_id AND e.day = m.day
 WHERE m.c >= 2"""
+    sql["graph_cc_discovery_order"] = f"""
+WITH {_EV_SQL},
+cc AS (
+  SELECT e.event_id AS v, m.comp AS component
+  FROM ev e JOIN (
+    SELECT user_id, day, min(event_id) AS comp, count(*) AS c
+    FROM ev GROUP BY user_id, day
+  ) m ON e.user_id = m.user_id AND e.day = m.day
+  WHERE m.c >= 2
+)
+SELECT v, component,
+       dense_rank() OVER (ORDER BY component) - 1 AS component_idx
+FROM cc"""
     # giant component: BFS reachability from the global min vertex proves
     # connectivity; every reached vertex has component = min id.  If the
     # graph were not connected the row counts would mismatch loudly.
