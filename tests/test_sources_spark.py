@@ -128,7 +128,15 @@ def test_jobs_cli_end_to_end(spark, tmp_path):
     assert edges.count() > 0 and sorted(edges.columns) == ["dst", "src"]
 
     # table-ref branch: write the edge table into the session catalog and
-    # read it back through the same shim the CLI uses
+    # read it back through the same shim the CLI uses.  Catalog metadata
+    # is per-session but the managed-table LOCATION persists in the
+    # warehouse dir across sessions — clear both or a rerun hits
+    # LOCATION_ALREADY_EXISTS
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS edges_cli_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/edges_cli_t", ignore_errors=True)
     write_table(edges, "table:edges_cli_t")
     assert read_table(spark, "table:edges_cli_t").count() == edges.count()
     jobs.main(
