@@ -224,6 +224,7 @@ def _scaling_child(
     mode: str = "threads",
     cores_per_exec: int = 2,
     mem_mb: int = 12288,
+    shuffle_partitions: int = 64,
 ) -> dict:
     """Run the PageRank pipeline alone in a fresh driver process at one
     parallelism size.  Two cluster shapes:
@@ -255,7 +256,7 @@ def _scaling_child(
     code = (
         "import json, bench; "
         f"r = bench.run_bench({sf_dir!r}, {cpus}, pagerank_iters=30, "
-        "n_pages_override=4000000, shuffle_partitions=64, pagerank_block=5, "
+        f"n_pages_override=4000000, shuffle_partitions={shuffle_partitions}, pagerank_block=5, "
         f"scaling_only=True, master={master!r}, n_executors={n_exec}); "
         "print('SCALING_JSON ' + json.dumps(r))"
     )
@@ -311,6 +312,37 @@ def _burn(seconds: float) -> int:
     while _t.time() - t0 < seconds:
         x += 1
     return x
+
+
+def _stream(seconds: float) -> float:
+    """Memory-BANDWIDTH burn: traverse a 512 MB numpy array repeatedly and
+    return bytes touched.  A shuffle-heavy Spark job is closer to this
+    profile than to pure-CPU burn — on multi-tenant hosts the bandwidth
+    ceiling saturates at lower process counts than the CPU ceiling."""
+    import time as _t
+
+    import numpy as np
+
+    arr = np.ones(64_000_000, dtype=np.float64)  # 512 MB
+    arr.sum()  # warm pass: allocation + first-touch faults OUTSIDE the timer
+    t0 = _t.time()
+    touched = 0.0
+    while _t.time() - t0 < seconds:
+        touched += float(arr.sum() and arr.nbytes)
+    return touched
+
+
+def _membw_ceiling(small: int, big: int) -> float:
+    """Aggregate memory-bandwidth scaling from `small` to `big` processes —
+    the fair physical bound for shuffle-heavy jobs (cf. _cpu_ceiling for
+    compute-bound work)."""
+    import multiprocessing as mp
+
+    def agg(procs: int) -> float:
+        with mp.get_context("spawn").Pool(procs) as pool:
+            return sum(pool.map(_stream, [2.0] * procs))
+
+    return agg(big) / agg(small)
 
 
 def run_scaling(
