@@ -210,11 +210,19 @@ def ann_recall_stats(
     Returns (query_id, recall, cand_fraction)."""
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
+    from ..plans.superstep import cut_lineage
+
     n_total = embeddings.count()
     cands = lsh_candidate_pairs_emb(
         embeddings, queries, n_planes, n_tables, seed, dim
     ).persist()
-    n_cand = cands.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    # both consumers of the (large) candidate table are tiny — per-query
+    # counts and a top-k — so materialize them eagerly and drop the
+    # candidate cache before returning instead of leaking it for the
+    # session lifetime
+    n_cand = cut_lineage(
+        cands.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    )
     scored = cands.select(
         "query_id",
         "neighbor_id",
@@ -226,11 +234,12 @@ def ann_recall_stats(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
-    approx = (
+    approx = cut_lineage(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
     )
+    cands.unpersist()
     exact = cosine_topk(embeddings, queries, k).select(
         "query_id", "neighbor_id"
     )

@@ -115,12 +115,40 @@ def sample_sources_py(vertex_ids, max_sources: int, seed: int) -> list[int]:
     return [v for _, v in ranked[:max_sources]]
 
 
+def _hadoop_delete(spark, path: str) -> None:
+    """Delete a scratch path through the Hadoop FileSystem API — resolves
+    the path's own scheme, so it works for local dirs AND cluster URIs
+    (HDFS/S3/shared FS), unlike a driver-side ``shutil.rmtree``."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:  # pragma: no cover - JVM gone / permissions
+        pass
+
+
+def _select_sources(spark, verts, sources, max_sources, seed):
+    if sources is not None:
+        return spark.createDataFrame(
+            [(int(s),) for s in sources], "source long"
+        )
+    if max_sources is not None:
+        return (
+            verts.orderBy(source_hash_expr(F.col("v"), seed))
+            .limit(max_sources)
+            .select(F.col("v").alias("source"))
+        )
+    return verts.select(F.col("v").alias("source"))
+
+
 def betweenness(
     edges: DataFrame,
     sources: list[int] | None = None,
     max_sources: int | None = 100,
     seed: int = 0,
     scratch_dir: str | None = None,
+    edge_budget: int = 50_000_000,
 ) -> DataFrame:
     """Brandes betweenness (undirected, 0.5-per-direction weights as in
     the reference), source-parallel.
@@ -134,6 +162,11 @@ def betweenness(
       parquet for task-side reads.  MUST be a cluster-visible path
       (HDFS/S3/shared FS) on a real cluster; defaults to a local temp dir,
       correct for local[*] mode.
+    * ``edge_budget`` — every task loads the FULL canonical edge list into
+      an in-process adjacency (that is what makes source-parallel Brandes
+      fast).  Above this many edges that per-task load would OOM an
+      executor, so the call fails fast with guidance instead of melting
+      the cluster; ``betweenness_superstep`` is the giant-graph fallback.
     """
     spark = edges.sparkSession
     from ..operators.builders import canonical_undirected
@@ -146,57 +179,197 @@ def betweenness(
             f"default would fail task-side reads under master={master!r}"
         )
     canon = canonical_undirected(edges)
+    n_edges = canon.count()
+    if n_edges > edge_budget:
+        raise RuntimeError(
+            f"betweenness: {n_edges} canonical edges exceed the per-task "
+            f"adjacency budget ({edge_budget}); every task materializes the "
+            "full edge list, so this would OOM executors.  Either raise "
+            "edge_budget (if executors have the memory) or use "
+            "betweenness_superstep(), which keeps the graph distributed"
+        )
     root = scratch_dir or os.path.join(tempfile.gettempdir(), "dachshund_bet")
     path = os.path.join(root, f"edges-{uuid.uuid4().hex}")
-    canon.write.mode("overwrite").parquet(path)
-    canon = spark.read.parquet(path)
+    # everything from the scratch write onward sits inside try/finally so a
+    # failure in ANY stage (write, sampling, the mapInPandas job) still
+    # deletes the edges-<uuid> directory — via the Hadoop FS API, which
+    # unlike shutil also works when scratch_dir is a remote URI
+    try:
+        canon.write.mode("overwrite").parquet(path)
+        canon = spark.read.parquet(path)
 
-    verts = vertices(canon)
-    if sources is not None:
-        src_df = spark.createDataFrame(
-            [(int(s),) for s in sources], "source long"
-        )
-    elif max_sources is not None:
-        src_df = (
-            verts.orderBy(source_hash_expr(F.col("v"), seed))
-            .limit(max_sources)
-            .select(F.col("v").alias("source"))
-        )
-    else:
-        src_df = verts.select(F.col("v").alias("source"))
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
-    src_df = src_df.repartition(n_part)
+        verts = vertices(canon)
+        src_df = _select_sources(spark, verts, sources, max_sources, seed)
+        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        src_df = src_df.repartition(n_part)
 
-    def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
+        def run_sources(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
 
-        from ..functions.kernels import brandes_single_source, build_undirected_adj
-
-        tbl = pq.read_table(path, columns=["src", "dst"])
-        adj = build_undirected_adj(
-            list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
-        )
-        acc: dict[int, float] = {}
-        for pdf in batches:
-            for s in pdf["source"]:
-                for nid, dep in brandes_single_source(adj, int(s)).items():
-                    acc[nid] = acc.get(nid, 0.0) + dep
-        if acc:
-            yield pd.DataFrame(
-                {"v": list(acc.keys()), "partial": list(acc.values())}
+            from ..functions.kernels import (
+                brandes_single_source,
+                build_undirected_adj,
             )
 
-    partials = src_df.mapInPandas(run_sources, "v long, partial double")
-    summed = partials.groupBy("v").agg(F.sum("partial").alias("betweenness"))
-    out = verts.join(summed, "v", "left").select(
-        "v", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
-    )
-    # the result is small (one row per vertex): materialize it eagerly so
-    # the scratch parquet can be deleted deterministically instead of
-    # leaking one edges-<uuid> directory per call
-    try:
+            tbl = pq.read_table(path, columns=["src", "dst"])
+            adj = build_undirected_adj(
+                list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
+            )
+            acc: dict[int, float] = {}
+            for pdf in batches:
+                for s in pdf["source"]:
+                    for nid, dep in brandes_single_source(adj, int(s)).items():
+                        acc[nid] = acc.get(nid, 0.0) + dep
+            if acc:
+                yield pd.DataFrame(
+                    {"v": list(acc.keys()), "partial": list(acc.values())}
+                )
+
+        partials = src_df.mapInPandas(run_sources, "v long, partial double")
+        summed = partials.groupBy("v").agg(
+            F.sum("partial").alias("betweenness")
+        )
+        out = verts.join(summed, "v", "left").select(
+            "v", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+        )
+        # the result is small (one row per vertex): materialize it eagerly
+        # so the scratch parquet can be deleted before returning
         return cut_lineage(out)
     finally:
-        import shutil
+        _hadoop_delete(spark, path)
 
-        shutil.rmtree(path, ignore_errors=True)
+
+def betweenness_superstep(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    max_sources: int | None = 100,
+    seed: int = 0,
+    max_depth: int = 200,
+) -> DataFrame:
+    """Brandes betweenness for graphs over ``betweenness``'s per-task
+    adjacency budget: the graph never leaves the cluster.
+
+    All selected sources run SIMULTANEOUSLY as DataFrame supersteps keyed
+    by (source, v) — forward BFS accumulates shortest-path counts sigma
+    level by level, then the dependency accumulation walks depths from the
+    deepest level back to 0 using the Brandes recurrence
+    ``delta(p) = sum_w (0.5 + delta(w)) * sigma(p)/sigma(w)`` over
+    successors ``w`` (dist_w = dist_p + 1).  Total supersteps = 2 × the
+    BFS eccentricity bound across sources (small-world web graphs: tens),
+    independent of the number of sources.
+
+    Matches ``betweenness`` / kernels.brandes_single_source exactly on the
+    same sources (parity pytest); sigma is carried as double, so path
+    counts are exact up to 2^53 — beyond that the per-task kernel's Python
+    bigints differ, which no sampled web-graph workload reaches.
+    """
+    spark = edges.sparkSession
+    from ..plans.superstep import release
+
+    sym = symmetrized(edges).repartition("src").persist()
+    sym.count()
+    verts = vertices(sym)
+    src_df = _select_sources(spark, verts, sources, max_sources, seed)
+
+    # forward: state = visited (source, v, dist, sigma); frontier = depth d
+    state = cut_lineage(
+        src_df.select(
+            "source",
+            F.col("source").alias("v"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    frontier = state
+    depth = 0
+    while depth < max_depth:
+        msgs = frontier.join(sym, frontier.v == sym.src).select(
+            "source", F.col("dst").alias("v"), "sigma"
+        )
+        cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
+        new = cut_lineage(
+            cand.join(
+                state.select("source", "v"), ["source", "v"], "left_anti"
+            ).select(
+                "source", "v", F.lit(depth + 1).alias("dist"), "sigma"
+            )
+        )
+        if new.count() == 0:
+            release(new)
+            break
+        nxt = cut_lineage(state.union(new))
+        release(state)
+        state = nxt
+        frontier = new
+        depth += 1
+    else:
+        raise RuntimeError(
+            f"betweenness_superstep: BFS did not exhaust in {max_depth} "
+            "levels; raise max_depth"
+        )
+
+    # backward: delta per (source, v), deepest depth first; the per-depth
+    # dependency rows fold into a running (v, partial) accumulator each
+    # round so every intermediate can be released immediately
+    acc = None  # running sum over sources+depths of delta(source, v)
+    delta_prev = None  # delta rows for depth d+1
+    for d in range(depth - 1, -1, -1):
+        nodes_d = state.filter(F.col("dist") == d).select(
+            "source", "v", "sigma"
+        )
+        succ = state.filter(F.col("dist") == d + 1).select(
+            "source",
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        if delta_prev is not None:
+            succ = succ.join(
+                delta_prev.select(
+                    "source", F.col("v").alias("w"), F.col("delta").alias("dw")
+                ),
+                ["source", "w"],
+                "left",
+            ).select(
+                "source", "w", "sigma_w",
+                F.coalesce("dw", F.lit(0.0)).alias("dw"),
+            )
+        else:
+            succ = succ.select(
+                "source", "w", "sigma_w", F.lit(0.0).alias("dw")
+            )
+        links = nodes_d.join(sym, nodes_d.v == sym.src).select(
+            "source", "v", "sigma", F.col("dst").alias("w")
+        )
+        delta_d = cut_lineage(
+            links.join(succ, ["source", "w"])
+            .groupBy("source", "v")
+            .agg(
+                F.sum(
+                    (F.lit(0.5) + F.col("dw"))
+                    * F.col("sigma")
+                    / F.col("sigma_w")
+                ).alias("delta")
+            )
+        )
+        release(delta_prev)
+        delta_prev = delta_d
+        dep = delta_d.filter(F.col("v") != F.col("source")).select(
+            "v", F.col("delta").alias("partial")
+        )
+        folded = dep if acc is None else acc.union(dep)
+        new_acc = cut_lineage(
+            folded.groupBy("v").agg(F.sum("partial").alias("partial"))
+        )
+        release(acc)
+        acc = new_acc
+    release(delta_prev)
+    release(state)
+    sym.unpersist()
+    if acc is None:
+        return verts.select("v", F.lit(0.0).alias("betweenness"))
+    out = verts.join(acc, "v", "left").select(
+        "v", F.coalesce("partial", F.lit(0.0)).alias("betweenness")
+    )
+    return out

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.superstep import cut_lineage
+from ..plans.superstep import cut_lineage, release
 from .builders import canonical_undirected, symmetrized, vertices
 from .components import connected_components
 
@@ -149,10 +149,16 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
             new_state.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
             or 0
         )
+        # the agg materialized new_state's checkpoint; the previous round's
+        # blocks are now dead — drop them instead of letting ~38 rounds of
+        # state accumulate on the heap
+        release(state)
         state = new_state
         if not changed:
             sym.unpersist()
             return state.select("v", F.col("est").cast("int").alias("coreness"))
+    sym.unpersist()
+    release(state)
     raise RuntimeError("coreness h-index iteration did not converge")
 
 

@@ -60,15 +60,23 @@ def salted_agg(
     key: str | list[str],
     aggs: list[Column],
     n_salt: int = 16,
+    mix_partition_id: bool = False,
 ) -> DataFrame:
     """Two-phase sum/count-style aggregation over a skewed key.
 
     ``aggs`` must be algebraic column aggregates built on a column named
     ``value`` producing a column named ``value`` per phase, e.g.
     ``[F.sum("value").alias("value")]``.
+
+    The default content-hash salt cannot spread BYTE-IDENTICAL duplicate
+    rows of one hub key (they all hash alike).  If ``df`` is
+    duplicate-row-heavy AND scan-rooted (deterministic file read, no
+    shuffle/AQE between the scan and this call), pass
+    ``mix_partition_id=True``; see ``with_salt`` for why the scan-rooted
+    condition is load-bearing for checkpoint/restart determinism.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    salted = with_salt(df, n_salt)
+    salted = with_salt(df, n_salt, mix_partition_id=mix_partition_id)
     partial = salted.groupBy(*keys, "_salt").agg(*aggs)
     return partial.groupBy(*keys).agg(*aggs)
 
@@ -79,11 +87,16 @@ def salted_join(
     key: str,
     n_salt: int = 8,
     how: str = "inner",
+    mix_partition_id: bool = False,
 ) -> DataFrame:
     """Join a skew-keyed big side with a small side by replicating the small
     side ``n_salt`` times.  Output columns = big ⋈ small minus helper cols.
+
+    As with ``salted_agg``: byte-identical duplicate rows of one hub key
+    share a content-hash salt; pass ``mix_partition_id=True`` only for
+    scan-rooted duplicate-heavy inputs (see ``with_salt``).
     """
-    big_s = with_salt(big, n_salt, "_bsalt")
+    big_s = with_salt(big, n_salt, "_bsalt", mix_partition_id=mix_partition_id)
     salts = small.sparkSession.range(n_salt).select(
         F.col("id").cast("int").alias("_bsalt")
     )

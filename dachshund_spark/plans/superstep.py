@@ -64,9 +64,35 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False
         )
-        return DataFrame(new_jdf, spark)
+        out = DataFrame(new_jdf, spark)
+        # handle to the checkpointed RDD so release() can drop its storage
+        # blocks deterministically (they otherwise live until the JVM
+        # ContextCleaner happens to GC the reference — which accumulates
+        # driver/executor heap across a long peel cascade)
+        out._cut_rdd = jrdd
+        return out
     except Exception:  # pragma: no cover - internal API moved/renamed
         return cut
+
+
+def release(df: DataFrame | None) -> None:
+    """Free the storage behind an intermediate state DataFrame: the
+    locally-checkpointed RDD blocks for a ``cut_lineage`` product, plus any
+    regular persist() cache.  Only call on states that nothing downstream
+    will read again — a released cut cannot be recomputed (local
+    checkpoints discard lineage)."""
+    if df is None:
+        return
+    jrdd = getattr(df, "_cut_rdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # pragma: no cover - JVM already torn down
+            pass
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover
+        pass
 
 
 @dataclass

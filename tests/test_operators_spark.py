@@ -190,6 +190,35 @@ def test_distributed_betweenness(spark):
     assert all(some[v] <= got[v] + 1e-9 for v in got)
 
 
+def test_betweenness_edge_budget_and_superstep_fallback(spark):
+    from dachshund_spark.operators.centrality import (
+        betweenness,
+        betweenness_superstep,
+    )
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    # over-budget graphs fail fast with guidance instead of a per-task OOM
+    with pytest.raises(RuntimeError, match="edge_budget"):
+        betweenness(e, edge_budget=10)
+    # the distributed-superstep fallback matches the per-task kernel
+    # exactly on the same sources (all 34 here, < max_sources)
+    exact = {r["v"]: r["betweenness"] for r in betweenness(e).collect()}
+    got = {
+        r["v"]: r["betweenness"] for r in betweenness_superstep(e).collect()
+    }
+    assert set(got) == set(exact)
+    assert all(abs(got[v] - exact[v]) <= 1e-6 for v in exact)
+    got_s = {
+        r["v"]: r["betweenness"]
+        for r in betweenness_superstep(e, sources=[1, 2, 3]).collect()
+    }
+    exact_s = {
+        r["v"]: r["betweenness"]
+        for r in betweenness(e, sources=[1, 2, 3]).collect()
+    }
+    assert all(abs(got_s[v] - exact_s[v]) <= 1e-6 for v in exact_s)
+
+
 def test_distributed_weighted_coreness(spark):
     from dachshund_spark.operators.builders import weighted_canonical
     from dachshund_spark.operators.coreness import weighted_coreness
