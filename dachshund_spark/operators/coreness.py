@@ -317,52 +317,199 @@ def coreness_anomaly(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_truss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+def _edge_support_full(canon: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge, computed ONCE via
+    degree-oriented wedge enumeration (each triangle generated exactly
+    once; O(m^1.5) fan-out — see operators.triangles).  ``canon`` MUST
+    already be canonical (src < dst, deduped, loop-free).
+
+    Returns a lineage-cut DataFrame[src, dst, support] containing only
+    edges with support >= 1: an edge in no triangle can never reach any
+    k-truss (k >= 3) and its removal decrements nothing, so omitting it
+    is exactly equivalent to dropping it in round 0 — and saves the
+    full-width join back onto the edge table."""
+    deg = (
+        canon.select(F.col("src").alias("v"))
+        .union(canon.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    e = (
+        canon.join(deg.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("degree", "deg_src")
+        .join(
+            deg.withColumnRenamed("v", "dst").withColumnRenamed(
+                "degree", "deg_dst"
+            ),
+            "dst",
+        )
+    )
+    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    o = e.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    ).persist()
+    e1 = o.select("a", F.col("b").alias("u"))
+    e2 = o.select("a", F.col("b").alias("w"))
+    wedges = e1.join(e2, "a").filter(F.col("u") < F.col("w"))
+    closing = canon.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    # materialize the triangle set ONCE: the three union branches below
+    # would otherwise each re-run the wedge join (and re-build its
+    # broadcast hash maps — measured as GC-thrash-grade overhead at 1M+
+    # edges)
+    tri = wedges.join(closing, ["u", "w"]).persist()
+    tri.count()
+    edges3 = (
+        tri.select(
+            F.least("a", "u").alias("src"), F.greatest("a", "u").alias("dst")
+        )
+        .union(
+            tri.select(
+                F.least("a", "w").alias("src"),
+                F.greatest("a", "w").alias("dst"),
+            )
+        )
+        .union(tri.select(F.col("u").alias("src"), F.col("w").alias("dst")))
+    )
+    out = cut_lineage(
+        edges3.groupBy("src", "dst").agg(F.count("*").alias("support"))
+    )
+    tri.unpersist()
+    o.unpersist()
+    return out
+
+
+def k_truss_edges(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     """Edges of the k-truss: iteratively delete canonical edges supported by
     fewer than k-2 triangles.  Returns DataFrame[src, dst].
 
     Distributed equivalent of coreness.rs:183-264 at fixpoint (the
     reference's in-sweep mutation order only affects intermediate sweeps,
     not the fixpoint, which is the canonical k-truss).
-    Prunes to the (k-1)-core first, as the reference does (:255-264).
+
+    Pre-prune: one degree-filter pass (both endpoints must have degree
+    >= k-1) — a cheap superset of the reference's full (k-1)-core prune
+    (:255-264); the peel itself is the fixpoint authority, so any
+    superset-preserving prune is sound, and the full iterative core
+    costs several driver rounds for marginal extra pruning.
+
+    Frontier-incremental peel with a density switch:
+
+    * sparse rounds (dropped edges ≪ survivors — the long cascade tail)
+      touch only the AFFECTED triangles — those containing an edge
+      dropped this round — and decrement the supports of their surviving
+      edges.  Per-round work is proportional to the frontier's triangle
+      neighborhood (decaying with the cascade, exactly the discipline
+      ``coreness`` applies via its h-index change frontier).  A triangle
+      is counted the round its FIRST edge drops and never again (later
+      rounds no longer see all three of its edges), so no
+      double-decrement; a triangle losing 2+ edges in one round is
+      deduped by canonical (x, y, z) triple.
+    * dense rounds (typically round 1, where most of the graph falls
+      below k-2 at once) recompute support over the SURVIVOR set with the
+      degree-oriented O(m'^1.5) enumeration instead: when the frontier is
+      nearly everything, enumerating its unoriented triangle neighborhood
+      costs Σ deg over dropped edges — far more than one oriented pass
+      over the (small) survivor graph.
     """
-    core_verts = k_core_vertices(edges, k - 1)
-    canon = (
-        canonical_undirected(edges)
-        .join(core_verts.withColumnRenamed("v", "src"), "src")
-        .join(core_verts.withColumnRenamed("v", "dst"), "dst")
-        .select("src", "dst")
-        .persist()
+    base = canonical_undirected(edges)
+    if k <= 2:
+        # every edge trivially has support >= 0: the 2-truss is the graph
+        return base
+    deg_ok = (
+        base.select(F.col("src").alias("v"))
+        .union(base.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k - 1)
+        .select("v")
     )
-    canon.count()
+    canon = cut_lineage(
+        base.join(deg_ok.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(deg_ok.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    state = _edge_support_full(canon)
+    release(canon)
+    n_edges = state.count()
     for _ in range(max_rounds):
-        sym = canon.union(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        # wedges through each vertex a: (a,u),(a,w) u<w; support(u,w) += 1 if (u,w) edge
-        e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("u"))
-        e2 = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
-        wedges = e1.join(e2, "a").filter(F.col("u") < F.col("w"))
-        support = (
-            wedges.join(
-                canon.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-                ["u", "w"],
-            )
-            .groupBy("u", "w")
-            .agg(F.count("*").alias("support"))
-        )
-        keep = support.filter(F.col("support") >= k - 2).select(
-            F.col("u").alias("src"), F.col("w").alias("dst")
-        )
-        n_old = canon.count()
-        # inner-join loop: the stats-resetting cut is ESSENTIAL here (see
-        # plans.superstep.cut_lineage — plain localCheckpoint compounds
-        # size estimates geometrically and stalls Catalyst by round ~15)
-        nxt = cut_lineage(canon.join(keep, ["src", "dst"]))
-        n_new = nxt.count()
-        canon.unpersist()
-        canon = nxt
-        if n_new == n_old:
+        # drop is a plain filter over the (leaf) state: re-evaluating it in
+        # the joins below is a trivial scan, and skipping a checkpoint here
+        # saves one driver job per round — at toy scale the peel cost IS
+        # the per-round job count
+        drop = state.filter(F.col("support") < k - 2).select("src", "dst")
+        n_drop = drop.count()
+        if n_drop == 0:
             break
-    return canon
+        surviving = state.join(drop, ["src", "dst"], "left_anti")
+        n_surv = n_edges - n_drop
+        if n_drop * 4 > n_surv:
+            # dense round: one oriented pass over the (cut) survivors —
+            # without the cut, _edge_support_full's several reads of the
+            # survivor set each replay the anti-join
+            surv_edges = cut_lineage(surviving.select("src", "dst"))
+            new_state = _edge_support_full(surv_edges)
+            release(surv_edges)
+        else:
+            sym_e = state.select("src", "dst").union(
+                state.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            # affected triangles: for dropped edge (u, w), every common
+            # neighbor a with (u,a) and (w,a) still in the current edge set
+            d = drop.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+            e_u = sym_e.select(
+                F.col("src").alias("u"), F.col("dst").alias("a")
+            )
+            e_w = sym_e.select(
+                F.col("src").alias("w"), F.col("dst").alias("a")
+            )
+            tri = d.join(e_u, "u").join(e_w, ["w", "a"])
+            srt = F.array_sort(F.array("u", "w", "a"))
+            tri3 = tri.select(
+                srt.getItem(0).alias("x"),
+                srt.getItem(1).alias("y"),
+                srt.getItem(2).alias("z"),
+            ).distinct()
+            dec_edges = (
+                tri3.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+                .union(
+                    tri3.select(
+                        F.col("x").alias("src"), F.col("z").alias("dst")
+                    )
+                )
+                .union(
+                    tri3.select(
+                        F.col("y").alias("src"), F.col("z").alias("dst")
+                    )
+                )
+            )
+            dec = dec_edges.groupBy("src", "dst").agg(
+                F.count("*").alias("dec")
+            )
+            # the stats-resetting cut is ESSENTIAL for this inner-join
+            # loop (see plans.superstep.cut_lineage)
+            new_state = cut_lineage(
+                surviving.join(dec, ["src", "dst"], "left").select(
+                    "src",
+                    "dst",
+                    (F.col("support") - F.coalesce("dec", F.lit(0))).alias(
+                        "support"
+                    ),
+                )
+            )
+        release(state)
+        state = new_state
+        # dense rounds may shed triangle-free survivors too (they are
+        # absent from the recomputed support table — see
+        # _edge_support_full), so recount from the materialized cut
+        n_edges = (
+            state.count() if n_drop * 4 > n_surv else n_surv
+        )
+    return state.select("src", "dst")
 
 
 def k_truss_components(edges: DataFrame, k: int) -> DataFrame:

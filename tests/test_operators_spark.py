@@ -142,6 +142,14 @@ def test_k_truss_edges(spark):
     trusses, _ = K.k_trusses(K.build_undirected_adj(g0), 3)
     want = {e for t in trusses for e in t}
     assert got == want
+    # incremental-support peel vs kernel across k values on karate club
+    kc = B.edges_df(spark, KARATE_CLUB_EDGES)
+    adjk = K.build_undirected_adj(KARATE_CLUB_EDGES)
+    for k in (4, 5):
+        got_k = {(r["src"], r["dst"]) for r in k_truss_edges(kc, k).collect()}
+        trusses_k, _ = K.k_trusses(adjk, k)
+        want_k = {e2 for t in trusses_k for e2 in t}
+        assert got_k == want_k, k
 
 
 def test_bfs_and_dag(spark):
