@@ -53,7 +53,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangle_triples(edges: DataFrame) -> DataFrame:
-    """One row (x, y, z) per distinct triangle."""
+    """One row (x, y, z) per distinct triangle.
+
+    The result is MATERIALIZED (lineage-cut leaf): every consumer fans
+    the triple set into several projections (corner explosion, per-edge
+    explosion), and a lazy plan would re-run the wedge join — and
+    re-build its broadcast hash maps — once per branch.  The cut also
+    lets the oriented intermediate be unpersisted before returning."""
+    from ..plans.superstep import cut_lineage
+
     o = _oriented(edges).persist()
     e1 = o.select(F.col("a"), F.col("b").alias("u"))
     e2 = o.select(F.col("a"), F.col("b").alias("w"))
@@ -61,9 +69,12 @@ def triangle_triples(edges: DataFrame) -> DataFrame:
     closing = canonical_undirected(edges).select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["u", "w"]).select(
-        F.col("a").alias("x"), F.col("u").alias("y"), F.col("w").alias("z")
+    tri = cut_lineage(
+        wedges.join(closing, ["u", "w"]).select(
+            F.col("a").alias("x"), F.col("u").alias("y"), F.col("w").alias("z")
+        )
     )
+    o.unpersist()
     return tri
 
 
