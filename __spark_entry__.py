@@ -601,6 +601,29 @@ def _q_wav_features(spark, sf_dir):
     )
 
 
+def _q_image_features(spark, sf_dir):
+    # REAL codec path: struct+numpy-encoded 24-bit BMP payloads decoded
+    # task-side; oracle regenerates the pixels without the container, so
+    # a hash match proves the round trip is lossless
+    from dachshund_spark.functions.multimodal import (
+        image_feature_stats,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(spark, 300, seed=42)
+    st = image_feature_stats(media)
+    return st.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("luma_mean", 6).alias("luma_mean"),
+        F.round("luma_std", 6).alias("luma_std"),
+    )
+
+
 def _q_bfs(spark, sf_dir):
     from dachshund_spark.operators.builders import canonical_undirected
     from dachshund_spark.operators.paths import undirected_bfs_distances
@@ -841,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "media_feature_stats": _q_media_feature_stats,
         "media_wav_feature_stats": _q_wav_features,
+        "media_image_feature_stats": _q_image_features,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
         "doc_quality_scores": _q_quality,
@@ -1305,4 +1329,5 @@ FROM f"""
     sql["doc_embedding_near_dups"] = O.ora_embedding_near_dups(d)
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)
+    sql["media_image_feature_stats"] = O.ora_image_feature_stats(d)
     return sql

@@ -7,8 +7,13 @@ signatures) is real and tested.  Codec status by kind:
 * **audio (uncompressed PCM WAV)** — REAL: ``synthesize_wav_media`` writes
   genuine RIFF/WAVE containers with the stdlib ``wave`` module and
   ``wav_feature_stats`` decodes them back task-side (no third-party libs).
-* **image/video** — stubbed: the container ships no image/video codecs, so
-  ``extract_features`` raises ``NotImplementedError`` unless
+* **image (uncompressed 24-bit BMP)** — REAL: ``synthesize_bmp_media``
+  writes genuine BITMAPFILEHEADER/BITMAPINFOHEADER containers
+  (bottom-up padded BGR rows, byte-for-byte openable by any image tool)
+  with struct+numpy only, and ``image_feature_stats`` parses them back
+  task-side.
+* **video** — stubbed: no compressed-video codec ships in this container,
+  so ``extract_features`` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``, which substitutes a seeded, content-derived
   fake decode so the downstream pipeline (feature extraction, resizing
   bookkeeping, frame sampling) can be exercised end-to-end.
@@ -225,6 +230,168 @@ def wav_feature_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         fn, WAV_FEATURE_SCHEMA
+    )
+
+
+def bmp_encode(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a genuine uncompressed
+    24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows
+    padded to 4 bytes) — stdlib struct + numpy only, mirroring the WAV
+    path's no-third-party-codec approach."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    row_len = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up row order, BGR channel order
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
+def bmp_decode(payload: bytes):
+    """Parse an uncompressed 24-bit BMP back to an (h, w, 3) uint8 RGB
+    array (top-down).  Raises on non-BMP bytes or unsupported variants —
+    honest failure, not a fake decode."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    row_len = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=abs(h) * row_len, offset=offset
+    ).reshape(abs(h), row_len)
+    bgr = rows[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]
+
+
+def synthesize_bmp_media(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    width: int = 32,
+    height: int = 24,
+    partitions: int = 8,
+) -> DataFrame:
+    """Deterministic REAL image payloads: genuine uncompressed 24-bit BMP
+    containers, one per row, with a content gradient derived from the id.
+    Same (media, meta) schema as ``synthesize_media``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys, xs = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads, metas = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rgb = np.stack(
+                    [
+                        (xs * 7 + i * 13 + seed) % 256,
+                        (ys * 11 + i * 17 + seed) % 256,
+                        ((xs + ys) * 5 + i * 19 + seed) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(bmp_encode(rgb))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                        "codec": "bmp24",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image_bmp",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .select(F.col("id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, mean_r double, mean_g double,"
+    " mean_b double, luma_mean double, luma_std double"
+)
+
+
+def image_feature_stats(media: DataFrame) -> DataFrame:
+    """REAL codec path (no fake, no stub): parse each payload as an
+    uncompressed 24-bit BMP inside an Arrow-batched ``mapInPandas`` and
+    emit per-channel means plus luma mean/std from the genuinely decoded
+    pixels — the image counterpart of ``wav_feature_stats``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rgb = bmp_decode(bytes(payload)).astype(np.float64)
+                h, w, _ = rgb.shape
+                luma = (
+                    0.299 * rgb[:, :, 0]
+                    + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2]
+                )
+                recs.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        float(rgb[:, :, 0].mean()),
+                        float(rgb[:, :, 1].mean()),
+                        float(rgb[:, :, 2].mean()),
+                        float(luma.mean()),
+                        float(luma.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "luma_mean",
+                    "luma_std",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, IMAGE_FEATURE_SCHEMA
     )
 
 

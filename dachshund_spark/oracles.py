@@ -752,6 +752,62 @@ def ora_wav_feature_stats(
     )
 
 
+def ora_image_feature_stats(
+    d: str, n: int = 300, seed: int = 42, width: int = 32, height: int = 24
+) -> str:
+    """Expected output of multimodal.image_feature_stats over
+    synthesize_bmp_media(n, seed): the PIXELS are regenerated directly
+    (same gradient math) and the features computed from them —
+    deliberately skipping the BMP container, so a gate match proves the
+    Spark side's stdlib encode -> decode round trip is lossless."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    rows = []
+    for i in range(n):
+        rgb = np.stack(
+            [
+                (xs * 7 + i * 13 + seed) % 256,
+                (ys * 11 + i * 17 + seed) % 256,
+                ((xs + ys) * 5 + i * 19 + seed) % 256,
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        luma = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        )
+        rows.append(
+            (
+                i,
+                width,
+                height,
+                float(rgb[:, :, 0].mean()),
+                float(rgb[:, :, 1].mean()),
+                float(rgb[:, :, 2].mean()),
+                float(luma.mean()),
+                float(luma.std()),
+            )
+        )
+    cols = [
+        ("media_id", "BIGINT"),
+        ("width", "INTEGER"),
+        ("height", "INTEGER"),
+        ("mean_r", "DOUBLE"),
+        ("mean_g", "DOUBLE"),
+        ("mean_b", "DOUBLE"),
+        ("luma_mean", "DOUBLE"),
+        ("luma_std", "DOUBLE"),
+    ]
+    return values_sql(
+        rows,
+        cols,
+        wrap=_round_wrap(
+            cols,
+            {"mean_r": 6, "mean_g": 6, "mean_b": 6, "luma_mean": 6, "luma_std": 6},
+        ),
+    )
+
+
 def ora_ann_clustered(
     d: str,
     n: int = 2000,
