@@ -601,6 +601,39 @@ def _q_wav_features(spark, sf_dir):
     )
 
 
+def _q_hub_salted_join(spark, sf_dir):
+    # north_rule "explicit salted repartitioning for hub-vertex skew" as a
+    # GATED equality: 60% of events collapse onto hub_key 0, the join runs
+    # through plans.skew.salted_join (hub rows fan out over n_salt
+    # reducers), and the oracle is the plain unsalted SQL join — a hash
+    # match proves salting changes the physical plan, not the answer.
+    # Weighted sums use exact integer arithmetic (value has 2 decimals,
+    # weights are integers) so both engines agree bit-for-bit.
+    from dachshund_spark.plans.skew import salted_join
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.when(F.col("event_id") % 10 < 6, F.lit(0))
+            .otherwise(F.col("event_id") % 1000)
+            .cast("long")
+            .alias("hub_key"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("hub_key"),
+        (F.col("id") * 7 % 13).cast("long").alias("w10"),
+    )
+    joined = salted_join(ev, dim, "hub_key", n_salt=8)
+    return joined.groupBy("hub_key").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value_cents") * F.col("w10")) / 1000.0).alias(
+            "weighted_value"
+        ),
+    )
+
+
 def _q_image_features(spark, sf_dir):
     # REAL codec path: struct+numpy-encoded 24-bit BMP payloads decoded
     # task-side; oracle regenerates the pixels without the container, so
@@ -865,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": _q_media_feature_stats,
         "media_wav_feature_stats": _q_wav_features,
         "media_image_feature_stats": _q_image_features,
+        "events_hub_salted_join": _q_hub_salted_join,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
         "doc_quality_scores": _q_quality,
@@ -1330,4 +1364,19 @@ FROM f"""
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)
     sql["media_image_feature_stats"] = O.ora_image_feature_stats(d)
+    sql["events_hub_salted_join"] = """
+        WITH ev AS (
+            SELECT CASE WHEN event_id % 10 < 6 THEN 0
+                        ELSE event_id % 1000 END AS hub_key,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+            FROM events
+        ), dim AS (
+            SELECT i AS hub_key, (i * 7) % 13 AS w10 FROM range(0, 1000) t(i)
+        )
+        SELECT ev.hub_key AS hub_key,
+               COUNT(*) AS n_events,
+               SUM(value_cents * w10) / 1000.0 AS weighted_value
+        FROM ev JOIN dim USING (hub_key)
+        GROUP BY ev.hub_key
+    """
     return sql
