@@ -40,7 +40,7 @@ def main(argv=None, _spark=None):
     p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
     p.add_argument("job", choices=[
         "extract", "pagerank", "cc", "lp", "triangles", "coreness",
-        "featurize", "cliques",
+        "featurize", "cliques", "sessions",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -53,6 +53,10 @@ def main(argv=None, _spark=None):
                    help="supersteps chained per Spark action (pagerank)")
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--typespec", default=None, help="JSON typespec for cliques")
+    p.add_argument("--gap", default="30 minutes",
+                   help="session merge gap (sessions)")
+    p.add_argument("--watermark", default="2 hours",
+                   help="late-data watermark (sessions)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -135,6 +139,33 @@ def main(argv=None, _spark=None):
 
         edges = read_table(spark, args.input)
         write_table(featurize(edges), args.output)
+    elif args.job == "sessions":
+        # Structured Streaming end-to-end: file source -> session_window
+        # aggregation -> parquet sink, bounded by the availableNow
+        # trigger.  Append mode emits only sessions FINALIZED by the
+        # watermark (sessions newer than max(ts) - watermark stay in
+        # state), which is the correct incremental-backfill semantics; the
+        # batch form (entry query events_sessions) is the completeness
+        # oracle.  The streaming sink requires a checkpointLocation — it
+        # doubles as the resume point for incremental re-runs over a
+        # growing input directory.
+        from .streaming.events import stream_session_stats
+
+        sdf = stream_session_stats(
+            spark, args.input, gap=args.gap, watermark=args.watermark
+        )
+        ckpt = args.checkpoint_dir or args.output.rstrip("/") + "_ckpt"
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"job": "sessions", "finalized_sessions": n}))
     elif args.job == "cliques":
         from .functions.clique_kernel import SearchProblem
         from .operators.clique_miner import mine_cliques

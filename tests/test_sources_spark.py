@@ -151,3 +151,47 @@ def test_jobs_cli_end_to_end(spark, tmp_path):
         "src as v"
     ).union(edges.selectExpr("dst as v")).distinct().count()
     assert abs(sum(r["pagerank"] for r in pr.collect()) - 1.0) < 1e-6
+
+
+def test_jobs_cli_sessions_streaming(spark, tmp_path):
+    # the streaming surface of the CLI: file source -> session_window ->
+    # parquet sink with availableNow; append mode emits only
+    # watermark-finalized sessions, so compare against the batch form
+    # restricted to sessions ending before the final watermark
+    import json as _json
+    import shutil
+
+    from dachshund_spark import jobs
+    from dachshund_spark.streaming.events import session_stats
+
+    src_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sessions_ckpt")
+    import os
+
+    os.makedirs(src_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
+    jobs.main(
+        [
+            "sessions", "--input", src_dir, "--output", out_dir,
+            "--checkpoint-dir", ckpt, "--watermark", "1 minutes",
+        ],
+        _spark=spark,
+    )
+    got = spark.read.parquet(out_dir)
+    batch = session_stats(spark.read.parquet(src_dir))
+    from pyspark.sql import functions as F
+
+    max_ts = spark.read.parquet(src_dir).agg(F.max("ts")).collect()[0][0]
+    finalized = batch.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 MINUTES")
+    )
+    want = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in finalized.collect()
+    }
+    have = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in got.collect()
+    }
+    assert want == have and len(have) > 0
