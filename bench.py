@@ -351,6 +351,7 @@ def run_scaling(
     big: int = 8,
     runs: int = 3,
     mode: str = "threads",
+    partition_ab: int | None = 256,
 ) -> str:
     """north_rule scaling evidence: the same job on the same input at
     ``small`` vs ``big`` parallelism (``mode="threads"``: local[N] cores;
@@ -367,11 +368,16 @@ def run_scaling(
     cores_factor = 1 if mode == "threads" else 2
     ceiling = _cpu_ceiling(small * cores_factor, big * cores_factor)
     ratio = big / small
-    def child_with_retry(n: int, attempts: int = 2) -> dict:
+    def child_with_retry(
+        n: int, attempts: int = 2, shuffle_partitions: int = 64
+    ) -> dict:
         last = None
         for _ in range(attempts):
             try:
-                return _scaling_child(sf_dir, n, mode=mode)
+                return _scaling_child(
+                    sf_dir, n, mode=mode,
+                    shuffle_partitions=shuffle_partitions,
+                )
             except Exception as ex:  # local-cluster startup is occasionally flaky
                 last = ex
         raise last
@@ -473,6 +479,35 @@ def run_scaling(
         json.dumps({"small": r_small, "big": r_big}, indent=2),
         "```",
     ]
+    if partition_ab:
+        # stage-barrier-tail probe: the standing hypothesis for the
+        # sub-ceiling efficiency is straggler tail latency at ~8 task
+        # waves per stage (64 partitions / 8 threads); more, smaller
+        # waves amortize a slow task across the stage.  One interleaved
+        # pair at partition_ab partitions quantifies it.
+        r_s2 = child_with_retry(small, shuffle_partitions=partition_ab)
+        r_b2 = child_with_retry(big, shuffle_partitions=partition_ab)
+        eps_s2 = r_s2["pagerank"]["edges_per_sec_per_superstep"]
+        eps_b2 = r_b2["pagerank"]["edges_per_sec_per_superstep"]
+        sp2 = eps_b2 / eps_s2
+        lines += [
+            "",
+            f"## Supplementary: shuffle-partition A/B (64 vs {partition_ab})",
+            "",
+            "One extra interleaved pair at the same sizes with "
+            f"{partition_ab} shuffle partitions (≥{partition_ab // big} "
+            "task waves on the big side) probes the stage-barrier-tail "
+            "hypothesis for the sub-ceiling efficiency:",
+            "",
+            "| partitions | small sec/superstep | big sec/superstep | speedup | efficiency |",
+            "|---|---|---|---|---|",
+            f"| 64 (headline) | {r_small['pagerank']['sec_per_superstep_steady']} | "
+            f"{r_big['pagerank']['sec_per_superstep_steady']} | {speedup:.2f}× | "
+            f"{efficiency:.3f} |",
+            f"| {partition_ab} | {r_s2['pagerank']['sec_per_superstep_steady']} | "
+            f"{r_b2['pagerank']['sec_per_superstep_steady']} | {sp2:.2f}× | "
+            f"{sp2 / ratio:.3f} |",
+        ]
     return "\n".join(lines)
 
 

@@ -270,6 +270,10 @@ def embedding_near_duplicates(
     (the all-pairs cross join never happens).  Recall is governed by
     (n_planes, n_tables); the clustered-fixture pytest pins it >= 0.99 at
     the defaults.  ``exact=True`` is the all-pairs verification baseline.
+
+    Pass ``dim`` explicitly in production (the hyperplane UDF closure
+    needs it at plan time; the ``None`` convenience fallback probes one
+    row, costing a driver action).
     """
     from .similarity import cosine_col, lsh_candidate_pairs_emb
 
