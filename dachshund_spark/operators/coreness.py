@@ -48,10 +48,14 @@ def k_core_vertices(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFra
             # round references the previous edge set three times, so
             # without it the logical plan grows ~3x per round
         )
-        sym.unpersist()
+        release(sym)
         bad.unpersist()
         sym = nxt
-    out = sym.select(F.col("src").alias("v")).distinct()
+    # cut the result so the final edge-set blocks can be released too
+    # (unpersist on a cut product is a no-op for its checkpoint blocks;
+    # release() drops them)
+    out = cut_lineage(sym.select(F.col("src").alias("v")).distinct())
+    release(sym)
     return out
 
 
@@ -199,17 +203,21 @@ def coreness_peel(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         # never empty — no separate count action needed
         peel = cut_lineage(deg.filter(F.col("degree") <= k).select("v"))
         deg.unpersist()
+        # peel cuts feed the final union lazily — they must NOT be
+        # released here; remaining/sym are replaced each round and can be
         results.append(peel.select("v", F.lit(k).alias("coreness")))
+        prev_remaining = remaining
         remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
+        release(prev_remaining)
         nxt = cut_lineage(
             sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
             # lineage cut: see k_core_vertices
         )
-        sym.unpersist()
+        release(sym)
         sym = nxt
-    sym.unpersist()
+    release(sym)
     if not results:
         return spark.createDataFrame([], "v long, coreness int")
     out = results[0]
@@ -256,15 +264,17 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         peel = cut_lineage(w.filter(F.col("w") <= shell).select("v"))
         w.unpersist()
         results.append(peel.select("v", F.lit(shell).alias("coreness")))
+        prev_remaining = remaining
         remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
+        release(prev_remaining)
         nxt = cut_lineage(
             sym.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
         )
-        sym.unpersist()
+        release(sym)
         sym = nxt
-    sym.unpersist()
+    release(sym)
     if not results:
         return spark.createDataFrame([], "v long, coreness double")
     out = results[0]
