@@ -657,6 +657,27 @@ def _q_image_features(spark, sf_dir):
     )
 
 
+def _q_video_features(spark, sf_dir):
+    # REAL codec path: struct+numpy-encoded uncompressed DIB AVI payloads
+    # decoded task-side by walking the RIFF chunks; oracle regenerates
+    # the frames without the container
+    from dachshund_spark.functions.multimodal import (
+        synthesize_avi_media,
+        video_feature_stats,
+    )
+
+    media = synthesize_avi_media(spark, 200, seed=42)
+    st = video_feature_stats(media)
+    return st.select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        F.round("luma_mean", 6).alias("luma_mean"),
+        F.round("motion", 6).alias("motion"),
+    )
+
+
 def _q_bfs(spark, sf_dir):
     from dachshund_spark.operators.builders import canonical_undirected
     from dachshund_spark.operators.paths import undirected_bfs_distances
@@ -899,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_feature_stats": _q_wav_features,
         "media_image_feature_stats": _q_image_features,
         "events_hub_salted_join": _q_hub_salted_join,
+        "media_video_feature_stats": _q_video_features,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
         "doc_quality_scores": _q_quality,
@@ -1364,6 +1386,7 @@ FROM f"""
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)
     sql["media_image_feature_stats"] = O.ora_image_feature_stats(d)
+    sql["media_video_feature_stats"] = O.ora_video_feature_stats(d)
     sql["events_hub_salted_join"] = """
         WITH ev AS (
             SELECT CASE WHEN event_id % 10 < 6 THEN 0

@@ -172,6 +172,23 @@ def values_sql(rows, cols: list[tuple[str, str]], wrap: str | None = None) -> st
     return f"SELECT {select} FROM (VALUES\n{body}\n) AS t({names})"
 
 
+def spark_round(x: float, n: int) -> float:
+    """Bit-exact mirror of Spark's ``F.round`` on doubles: Spark rounds
+    HALF_UP on ``BigDecimal.valueOf(double)`` — i.e. on the SHORTEST
+    decimal representation (Double.toString == python repr), not on the
+    exact binary expansion DuckDB's round() uses.  The two disagree on
+    half-ulp ties (seen: 8.3659375 -> Spark .365938, DuckDB .365937), so
+    oracles for Spark-rounded floats must pre-round with this and emit
+    the literal unwrapped."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _round_wrap(cols: list[tuple[str, str]], rounds: dict[str, int]) -> str:
     parts = []
     for n, _ in cols:
@@ -806,6 +823,64 @@ def ora_image_feature_stats(
             {"mean_r": 6, "mean_g": 6, "mean_b": 6, "luma_mean": 6, "luma_std": 6},
         ),
     )
+
+
+def ora_video_feature_stats(
+    d: str,
+    n: int = 200,
+    seed: int = 42,
+    width: int = 32,
+    height: int = 24,
+    n_frames: int = 8,
+) -> str:
+    """Expected output of multimodal.video_feature_stats over
+    synthesize_avi_media(n, seed): frames regenerated directly (same
+    gradient-pan math), features computed from them — skipping the AVI
+    container, so a gate match proves the RIFF encode -> decode round
+    trip is lossless."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    rows = []
+    for i in range(n):
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xs * 7 + i * 13 + t * 3 + seed) % 256,
+                        (ys * 11 + i * 17 + t * 5 + seed) % 256,
+                        ((xs + ys) * 5 + i * 19 + t * 7 + seed) % 256,
+                    ],
+                    axis=-1,
+                )
+                for t in range(n_frames)
+            ]
+        ).astype(np.float64)
+        luma = (
+            0.299 * frames[:, :, :, 0]
+            + 0.587 * frames[:, :, :, 1]
+            + 0.114 * frames[:, :, :, 2]
+        )
+        motion = float(np.abs(luma[1:] - luma[:-1]).mean())
+        rows.append(
+            (
+                i,
+                n_frames,
+                width,
+                height,
+                spark_round(float(luma.mean()), 6),
+                spark_round(motion, 6),
+            )
+        )
+    cols = [
+        ("media_id", "BIGINT"),
+        ("n_frames", "INTEGER"),
+        ("width", "INTEGER"),
+        ("height", "INTEGER"),
+        ("luma_mean", "DOUBLE"),
+        ("motion", "DOUBLE"),
+    ]
+    return values_sql(rows, cols)
 
 
 def ora_ann_clustered(
