@@ -133,7 +133,13 @@ def main(argv=None, _spark=None):
         from .operators.coreness import coreness
 
         edges = read_table(spark, args.input)
-        write_table(coreness(edges), args.output)
+        # --max-iter defaults to 100 for the superstep jobs; the h-index
+        # cascade legitimately runs longer, so scale it here rather than
+        # surprising pagerank/cc with a huge default
+        write_table(
+            coreness(edges, max_rounds=args.max_iter * 100, checkpointer=cp),
+            args.output,
+        )
     elif args.job == "featurize":
         from .operators.pergraph import featurize
 

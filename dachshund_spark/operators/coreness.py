@@ -75,7 +75,12 @@ def k_core_components(edges: DataFrame, k: int) -> DataFrame:
     return connected_components(core_edges)
 
 
-def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
+def coreness(
+    edges: DataFrame,
+    max_rounds: int = 10000,
+    checkpointer=None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """Exact core number per vertex via the h-index fixpoint iteration
     (Montresor, De Pellegrini, Miorandi, "Distributed k-Core
     Decomposition", 2011): start from est(v) = degree(v) and repeatedly
@@ -97,15 +102,49 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     Semantics match Batagelj–Zaveršnik peeling (coreness.rs:106-161) with
     the reference's decrement quirks corrected (pinned to its tests'
     expected values; parity with ``coreness_peel`` is property-tested).
+
+    ``checkpointer`` (a ``plans.superstep.CheckpointManager``) makes the
+    iteration resumable (north_rule): the (v, est, chg) state is durably
+    written every ``checkpoint_every`` rounds with a metrics sidecar, and
+    a fresh call with the same manager resumes from the latest round —
+    including after a ``max_rounds`` abort, whose partial state is saved
+    before raising.
     """
+    import time as _time
+
+    from ..plans.superstep import SuperstepMetrics
+
+    spark = edges.sparkSession
     sym = symmetrized(edges).repartition("src").persist()
     sym.count()
-    state = cut_lineage(
-        _sym_degrees(sym).select(
-            "v", F.col("degree").alias("est"), F.lit(True).alias("chg")
+    start_round = 0
+    state = None
+    if checkpointer is not None:
+        found = checkpointer.load_latest(spark)
+        if found is not None:
+            start_round, saved = found
+            state = cut_lineage(saved)
+    if state is None:
+        state = cut_lineage(
+            _sym_degrees(sym).select(
+                "v", F.col("degree").alias("est"), F.lit(True).alias("chg")
+            )
         )
-    )
-    for i in range(max_rounds):
+
+    def _save(state_df, i, changed, seconds):
+        checkpointer.save(
+            state_df,
+            SuperstepMetrics(
+                superstep=i,
+                rows=state_df.count(),
+                delta=float(changed),
+                seconds=round(seconds, 4),
+                partitions=state_df.rdd.getNumPartitions(),
+            ),
+        )
+
+    for i in range(start_round, max_rounds):
+        t0 = _time.time()
         # frontier: a vertex's h-index can only drop if a NEIGHBOR's
         # estimate changed last round, so recompute only neighbors of the
         # changed set — per-round work decays with the cascade, exactly
@@ -158,9 +197,17 @@ def coreness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         # state accumulate on the heap
         release(state)
         state = new_state
+        if checkpointer is not None and (
+            (i + 1) % checkpoint_every == 0 or not changed
+        ):
+            _save(state, i + 1, changed, _time.time() - t0)
         if not changed:
             sym.unpersist()
             return state.select("v", F.col("est").cast("int").alias("coreness"))
+    if checkpointer is not None and max_rounds % checkpoint_every != 0:
+        # durable partial state for the abort path: a rerun with a larger
+        # max_rounds resumes instead of restarting
+        _save(state, max_rounds, -1, 0.0)
     sym.unpersist()
     release(state)
     raise RuntimeError("coreness h-index iteration did not converge")

@@ -101,3 +101,32 @@ def test_checkpoint_fingerprint_mismatch_refused(spark, tmp_path):
     cp_reader = CheckpointManager(root, "legacy", fingerprint="anything")
     k2, _ = cp_reader.load_latest(spark)
     assert k2 == 3
+
+
+def test_coreness_checkpoint_resume(spark, tmp_path):
+    # the h-index loop is resumable: abort at a round cap (partial state
+    # saved before the raise), resume with the same manager, converge to
+    # the un-checkpointed answer exactly
+    import pytest
+
+    from dachshund_spark.operators.coreness import coreness
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    want = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+
+    root = str(tmp_path / "ckpt")
+    cp = CheckpointManager(root, "coreness_test")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(e, max_rounds=1, checkpointer=cp)
+    step, _ = cp.latest()
+    assert step == 1
+
+    got = {
+        r["v"]: r["coreness"]
+        for r in coreness(e, checkpointer=cp).collect()
+    }
+    assert got == want
+    # the resumed run continued past the aborted round
+    assert cp.latest()[0] > 1
+    meta = json.loads(open(cp.latest()[1] + ".metrics.json").read())
+    assert meta["rows"] == 34 and meta["partitions"] > 0
