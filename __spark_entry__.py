@@ -877,6 +877,92 @@ def _q_nation_orders(spark, sf_dir):
     )
 
 
+def _cents(col, scale=100):
+    return F.round(F.col(col) * scale).cast("long")
+
+
+def _q_tpch_q6(spark, sf_dir):
+    # TPC-H Q6 forecasting-revenue shape: pure filter + aggregate — the
+    # predicate and the two projected columns must reach the parquet scan
+    # (PushedFilters / ReadSchema); revenue in exact cents arithmetic so
+    # both engines agree bit-for-bit regardless of sum order
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    # TPC-H Q3 shipping-priority shape: 3-way join, group, deterministic
+    # top-10 (ties broken by orderkey)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        li.filter(F.col("l_shipdate") > F.lit("1998-06-15"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-06-15")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
+            o.o_custkey == c.c_custkey,
+            "left_semi",
+        )
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q_tpch_q5(spark, sf_dir):
+    # TPC-H Q5 local-supplier-volume shape: 6-way star join where every
+    # dimension is broadcast-eligible; revenue per nation
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            r.filter(F.col("r_name") == "ASIA"),
+            n.n_regionkey == r.r_regionkey,
+            "left_semi",
+        )
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return j.groupBy("n_name").agg((F.sum(rev) / 10000.0).alias("revenue"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -940,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_nation_orders": _q_nation_orders,
+        "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q5_local_supplier_volume": _q_tpch_q5,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
     }
 
 
@@ -1286,6 +1375,43 @@ GROUP BY l_returnflag, l_linestatus"""
 SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+    sql["tpch_q6_forecast_revenue"] = """
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+    sql["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1998-06-15'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+    sql["tpch_q5_local_supplier_volume"] = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
 GROUP BY n_name"""
 
     # -- pure-SQL oracles for the round-2 operators ------------------------
