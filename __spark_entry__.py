@@ -634,6 +634,25 @@ def _q_hub_salted_join(spark, sf_dir):
     )
 
 
+def _q_ivf_clustered(spark, sf_dir):
+    # the IVF twin of emb_ann_clustered_pruning: coarse k-means cells
+    # instead of hyperplane buckets; candidates come from an equi-join on
+    # cell id, and the gate pins recall + candidate fraction against the
+    # numpy mirror of the same quantizer
+    from dachshund_spark.functions.similarity import (
+        ivf_recall_stats,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    ).persist()
+    queries = emb.filter(F.col("vec_id") < 16)
+    return ivf_recall_stats(
+        emb, queries, k=10, n_centroids=50, n_probe=3, n_iters=10
+    )
+
+
 def _q_image_features(spark, sf_dir):
     # REAL codec path: struct+numpy-encoded 24-bit BMP payloads decoded
     # task-side; oracle regenerates the pixels without the container, so
@@ -1001,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_stats_per_user": _q_approx_stats_per_user,
         "emb_ann_recall": _q_ann_recall,
         "emb_ann_clustered_pruning": _q_ann_clustered,
+        "emb_ivf_clustered_pruning": _q_ivf_clustered,
         "media_frame_sample": _q_media_frame_sample,
         "media_feature_stats": _q_media_feature_stats,
         "media_wav_feature_stats": _q_wav_features,
@@ -1508,6 +1528,7 @@ FROM f"""
     sql["graph_clique_miner_long"] = O.ora_clique_miner_long(d)
     sql["emb_ann_recall"] = O.ora_ann_recall(d)
     sql["emb_ann_clustered_pruning"] = O.ora_ann_clustered(d)
+    sql["emb_ivf_clustered_pruning"] = O.ora_ivf_clustered(d)
     sql["doc_embedding_near_dups"] = O.ora_embedding_near_dups(d)
     sql["media_feature_stats"] = O.ora_media_feature_stats(d)
     sql["media_wav_feature_stats"] = O.ora_wav_feature_stats(d)

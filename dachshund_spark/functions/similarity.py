@@ -327,3 +327,229 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to hyperplane LSH:
+# a coarse k-means quantizer partitions the corpus into centroid cells;
+# queries probe only their n_probe nearest cells, so candidate generation
+# is an equi-join on cell id (never a cross join).  Training runs
+# driver-side on a deterministic bounded sample (FAISS-style: the coarse
+# quantizer is tiny and trained offline; ASSIGNMENT is the distributed
+# part) — at 100 TB the sample is a hash-ranked draw, here vec_id order.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(mat, n_centroids: int, n_iters: int = 10):
+    """Deterministic spherical Lloyd's iterations on an (n, dim) array.
+
+    Determinism contract (shared with the in-process oracle): unit-norm
+    inputs, evenly-spaced init over the row order, dots quantized to 1e-6
+    before argmax so BLAS summation-order ulps can never flip an
+    assignment, empty cells keep their previous centroid."""
+    import numpy as np
+
+    mat64 = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat64, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat64 / norms[:, None]
+    idx = np.linspace(0, len(unit) - 1, n_centroids).astype(int)
+    cent = unit[idx].copy()
+    for _ in range(n_iters):
+        dots = np.round(unit @ cent.T, 6)
+        assign = dots.argmax(axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    return cent
+
+
+def ivf_probe_cids(mat, cent, n_probe: int):
+    """Top-``n_probe`` centroid cells per row (rounded-dot argsort, stable
+    ties) — the one function both the Spark UDF batches and the numpy
+    oracle call, so cell decisions are identical by construction."""
+    import numpy as np
+
+    m = np.asarray(mat, dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    dots = np.round((m / nrm[:, None]) @ cent.T, 6)
+    return np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+
+
+def _ivf_cells_udf(cent, n_probe: int):
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        out = ivf_probe_cids(mat, cent, n_probe)
+        return pd.Series([row.astype(int).tolist() for row in out])
+
+    return cells
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+):
+    """Driver-side coarse-quantizer training on a deterministic bounded
+    sample (first ``train_limit`` rows by vec_id; swap for a hash-ranked
+    sample at corpus scale)."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(train_limit)
+        .select("embedding")
+        .collect()
+    )
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return kmeans_centroids(mat, n_centroids, n_iters)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors: corpus vectors live in
+    their single nearest centroid cell, queries probe their ``n_probe``
+    nearest cells, candidates come from a cell-id EQUI-join, and an
+    exact cosine re-rank picks the top k.  Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, n_iters, train_limit
+        )
+    assign1 = _ivf_cells_udf(centroids, 1)
+    probe = _ivf_cells_udf(centroids, n_probe)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("cid"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe(F.col("embedding"))).alias("cid"),
+    )
+    cands = (
+        q.join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(
+            F.col("q_emb").cast("array<double>"),
+            F.col("c_emb").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_recall_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+) -> DataFrame:
+    """Per query: recall@k of the IVF path vs the exact baseline AND the
+    candidate fraction (cells probed / corpus size) — the IVF twin of
+    ``ann_recall_stats``.  Returns (query_id, recall, cand_fraction)."""
+    from ..plans.superstep import cut_lineage
+
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, n_iters, train_limit
+    )
+    n_total = embeddings.count()
+    assign1 = _ivf_cells_udf(centroids, 1)
+    probe = _ivf_cells_udf(centroids, n_probe)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("cid"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe(F.col("embedding"))).alias("cid"),
+    )
+    cands = (
+        q.join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .persist()
+    )
+    n_cand = cut_lineage(
+        cands.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(
+            F.col("q_emb").cast("array<double>"),
+            F.col("c_emb").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = cut_lineage(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    cands.unpersist()
+    exact = cosine_topk(embeddings, queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce("n_cand", F.lit(0)) / F.lit(float(n_total - 1)), 6
+            ).alias("cand_fraction"),
+        )
+    )

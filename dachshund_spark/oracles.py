@@ -943,6 +943,64 @@ def ora_ann_clustered(
     )
 
 
+def ora_ivf_clustered(
+    d: str,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 50,
+    sigma: float = 0.05,
+    seed: int = 7,
+    n_queries: int = 16,
+    k: int = 10,
+    n_centroids: int = 50,
+    n_probe: int = 3,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+) -> str:
+    """numpy mirror of similarity.ivf_recall_stats: regenerates the exact
+    float32 fixture, trains the SAME coarse quantizer via the shared
+    kmeans_centroids/ivf_probe_cids helpers (quantized-dot decisions are
+    identical by construction), and computes per-query recall@k and
+    candidate fraction."""
+    import numpy as np
+
+    from .functions.similarity import ivf_probe_cids, kmeans_centroids
+
+    mat32 = np.empty((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = i % n_clusters
+        center = np.random.default_rng(seed * 1_000_003 + c).standard_normal(dim)
+        center /= np.linalg.norm(center)
+        noise = np.random.default_rng(seed * 2_000_003 + i).standard_normal(dim)
+        mat32[i] = (center + sigma * noise).astype(np.float32)
+    mat = mat32.astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cent = kmeans_centroids(mat[:train_limit], n_centroids, n_iters)
+    cell = ivf_probe_cids(mat, cent, 1)[:, 0]
+    probes = ivf_probe_cids(mat[:n_queries], cent, n_probe)
+    rows = []
+    for qi in range(n_queries):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(n) if i != qi), key=lambda i: (-cos[i], i)
+        )
+        exact = set(order[:k])
+        probe_set = {int(c) for c in probes[qi]}
+        cand = {i for i in range(n) if int(cell[i]) in probe_set and i != qi}
+        approx = set(sorted(cand, key=lambda i: (-cos[i], i))[:k])
+        rows.append(
+            (qi, len(exact & approx) / float(k), len(cand) / float(n - 1))
+        )
+    cols = [
+        ("query_id", "BIGINT"),
+        ("recall", "DOUBLE"),
+        ("cand_fraction", "DOUBLE"),
+    ]
+    return values_sql(
+        rows, cols, wrap=_round_wrap(cols, {"recall": 6, "cand_fraction": 6})
+    )
+
+
 def ora_media_feature_stats(d: str, n: int = 500, seed: int = 42,
                             dim: int = 8) -> str:
     """In-process mirror of multimodal.synthesize_media +

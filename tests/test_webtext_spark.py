@@ -430,3 +430,20 @@ def test_avi_codec_real_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         M.avi_decode(b"JUNKJUNKJUNKJUNKJUNK")
+
+
+def test_ivf_clustered_pruning(spark):
+    # the IVF twin of test_ann_clustered_pruning: coarse k-means cells,
+    # candidates from a cell-id equi-join — recall 1.0 while examining
+    # <10% of the corpus on the clustered fixture
+    emb = S.synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    ).persist()
+    queries = emb.filter(F.col("vec_id") < 16)
+    rows = S.ivf_recall_stats(
+        emb, queries, k=10, n_centroids=50, n_probe=3, n_iters=10
+    ).collect()
+    emb.unpersist()
+    assert len(rows) == 16
+    assert all(r["recall"] >= 0.9 for r in rows)
+    assert all(r["cand_fraction"] < 0.1 for r in rows)
