@@ -40,7 +40,7 @@ def main(argv=None, _spark=None):
     p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
     p.add_argument("job", choices=[
         "extract", "pagerank", "cc", "lp", "triangles", "coreness",
-        "featurize", "cliques", "sessions",
+        "ktruss", "scc", "featurize", "cliques", "sessions",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -145,6 +145,19 @@ def main(argv=None, _spark=None):
 
         edges = read_table(spark, args.input)
         write_table(featurize(edges), args.output)
+    elif args.job == "ktruss":
+        from .operators.coreness import k_truss_edges
+
+        edges = read_table(spark, args.input)
+        write_table(k_truss_edges(edges, args.k), args.output)
+    elif args.job == "scc":
+        from .operators.components import strongly_connected_components
+
+        edges = read_table(spark, args.input)
+        write_table(
+            strongly_connected_components(edges, max_iter=args.max_iter),
+            args.output,
+        )
     elif args.job == "sessions":
         # Structured Streaming end-to-end: file source -> session_window
         # aggregation -> parquet sink, bounded by the availableNow
