@@ -29,6 +29,7 @@ from ..plans.superstep import (
     SuperstepResult,
     cut_lineage,
     iterate,
+    release,
 )
 from .builders import symmetrized, vertices
 
@@ -258,7 +259,15 @@ def _bidirectional_min_labels(
 
     Raises if ``max_iter`` supersteps pass with changes pending (a
     truncated label set would let strongly_connected_components silently
-    split a large-diameter SCC)."""
+    split a large-diameter SCC).
+
+    Delta propagation: a vertex's f (resp. b) can only improve when an
+    in-neighbor's f (resp. out-neighbor's b) improved LAST round, so the
+    state carries per-direction change flags and only changed vertices
+    emit messages in their changed direction — per-superstep shuffle
+    volume decays with the cascade instead of re-sending every label
+    every round (the frontier discipline ``connected_components`` and
+    ``coreness`` already apply)."""
     fwd = edges.select("src", "dst", F.lit(True).alias("isf"))
     bwd = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -267,15 +276,27 @@ def _bidirectional_min_labels(
     adj = fwd.union(bwd).repartition("src").persist()
     adj.count()
     state = verts.select(
-        "v", F.col("v").alias("f"), F.col("v").alias("b")
+        "v",
+        F.col("v").alias("f"),
+        F.col("v").alias("b"),
+        F.lit(True).alias("cf"),
+        F.lit(True).alias("cb"),
     ).persist()
     state.count()
     converged = False
     for i in range(max_iter):
-        msgs = adj.join(state, adj.src == state.v).select(
-            F.col("dst").alias("v"),
-            "isf",
-            F.when(F.col("isf"), F.col("f")).otherwise(F.col("b")).alias("lbl"),
+        msgs = (
+            adj.join(state, adj.src == state.v)
+            .filter(
+                (F.col("isf") & F.col("cf")) | (~F.col("isf") & F.col("cb"))
+            )
+            .select(
+                F.col("dst").alias("v"),
+                "isf",
+                F.when(F.col("isf"), F.col("f"))
+                .otherwise(F.col("b"))
+                .alias("lbl"),
+            )
         )
         best = msgs.groupBy("v").agg(
             F.min(F.when(F.col("isf"), F.col("lbl"))).alias("fc"),
@@ -285,19 +306,17 @@ def _bidirectional_min_labels(
             "v",
             F.least(F.col("f"), F.coalesce("fc", F.col("f"))).alias("f"),
             F.least(F.col("b"), F.coalesce("bc", F.col("b"))).alias("b"),
-            (
-                (F.coalesce("fc", F.col("f")) < F.col("f"))
-                | (F.coalesce("bc", F.col("b")) < F.col("b"))
-            ).alias("chg"),
+            (F.coalesce("fc", F.col("f")) < F.col("f")).alias("cf"),
+            (F.coalesce("bc", F.col("b")) < F.col("b")).alias("cb"),
         )
         if (i + 1) % 3 == 0:
             new_state = cut_lineage(new_state)
         else:
             new_state = new_state.persist()
         agg = new_state.agg(
-            F.sum(F.col("chg").cast("long")).alias("c")
+            F.sum((F.col("cf") | F.col("cb")).cast("long")).alias("c")
         ).collect()[0]
-        state.unpersist()
+        release(state)
         state = new_state
         if not agg["c"]:
             converged = True
