@@ -68,9 +68,13 @@ def main(argv=None, _spark=None):
     if args.checkpoint_dir:
         from .plans.superstep import CheckpointManager
 
-        # fingerprint = input + every parameter that shapes the iteration;
-        # a resume against checkpoints written for different inputs or
-        # parameters is refused rather than silently continued
+        # fingerprint = input + every parameter that shapes per-round
+        # STATE; a resume against checkpoints written for different inputs
+        # or parameters is refused rather than silently continued.
+        # max_iter is deliberately excluded: it only bounds the loop, and
+        # the documented abort-recovery path is "rerun with a larger
+        # --max-iter to resume" — including it would change the
+        # fingerprint on exactly that rerun and refuse the resume.
         fp = json.dumps(
             {
                 "input": args.input,
@@ -78,7 +82,6 @@ def main(argv=None, _spark=None):
                 "damping": args.damping,
                 "impl": args.impl,
                 "block_size": args.block_size,
-                "max_iter": args.max_iter,
             },
             sort_keys=True,
         )

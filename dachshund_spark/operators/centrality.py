@@ -179,24 +179,30 @@ def betweenness(
             f"default would fail task-side reads under master={master!r}"
         )
     canon = canonical_undirected(edges)
-    n_edges = canon.count()
-    if n_edges > edge_budget:
-        raise RuntimeError(
-            f"betweenness: {n_edges} canonical edges exceed the per-task "
-            f"adjacency budget ({edge_budget}); every task materializes the "
-            "full edge list, so this would OOM executors.  Either raise "
-            "edge_budget (if executors have the memory) or use "
-            "betweenness_superstep(), which keeps the graph distributed"
-        )
     root = scratch_dir or os.path.join(tempfile.gettempdir(), "dachshund_bet")
     path = os.path.join(root, f"edges-{uuid.uuid4().hex}")
     # everything from the scratch write onward sits inside try/finally so a
-    # failure in ANY stage (write, sampling, the mapInPandas job) still
-    # deletes the edges-<uuid> directory — via the Hadoop FS API, which
-    # unlike shutil also works when scratch_dir is a remote URI
+    # failure in ANY stage (write, budget check, sampling, the mapInPandas
+    # job) still deletes the edges-<uuid> directory — via the Hadoop FS
+    # API, which unlike shutil also works when scratch_dir is a remote URI
     try:
         canon.write.mode("overwrite").parquet(path)
         canon = spark.read.parquet(path)
+        # budget check AFTER the scratch write: counting the written
+        # parquet is a footer-metadata scan, whereas counting `canon`
+        # directly would compute the whole canonicalization shuffle a
+        # second time.  Still fails fast — nothing has launched the
+        # per-task adjacency load (the mapInPandas job) yet.
+        n_edges = canon.count()
+        if n_edges > edge_budget:
+            raise RuntimeError(
+                f"betweenness: {n_edges} canonical edges exceed the "
+                f"per-task adjacency budget ({edge_budget}); every task "
+                "materializes the full edge list, so this would OOM "
+                "executors.  Either raise edge_budget (if executors have "
+                "the memory) or use betweenness_superstep(), which keeps "
+                "the graph distributed"
+            )
 
         verts = vertices(canon)
         src_df = _select_sources(spark, verts, sources, max_sources, seed)
@@ -273,36 +279,44 @@ def betweenness_superstep(
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
 
-    # forward: state = visited (source, v, dist, sigma); frontier = depth d
-    state = cut_lineage(
-        src_df.select(
-            "source",
-            F.col("source").alias("v"),
-            F.lit(0).alias("dist"),
-            F.lit(1.0).alias("sigma"),
+    # forward: levels[d] = the depth-d frontier (source, v, sigma), each a
+    # separate cut_lineage product.  Per-depth checkpoint I/O is the NEW
+    # frontier only — the old design rewrote the full accumulated visited
+    # state every level (union + cut), i.e. O(depth × |state|) checkpoint
+    # I/O, quadratic-ish in depth for deep graphs.  Dedup anti-joins
+    # against the lazy union of the frontier leaves: same scan volume as
+    # one consolidated state table, no rewrite; the union legs are
+    # stat-free LogicalRDD leaves, so Catalyst's size estimator stays
+    # bounded (cut_lineage doc).  The backward pass reads exactly two
+    # frontier leaves per depth instead of filtering the full state twice.
+    levels = [
+        cut_lineage(
+            src_df.select(
+                "source",
+                F.col("source").alias("v"),
+                F.lit(1.0).alias("sigma"),
+            )
         )
-    )
-    frontier = state
+    ]
     depth = 0
     while depth < max_depth:
+        frontier = levels[depth]
         msgs = frontier.join(sym, frontier.v == sym.src).select(
             "source", F.col("dst").alias("v"), "sigma"
         )
         cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
+        visited = levels[0].select("source", "v")
+        for lv in levels[1:]:
+            visited = visited.union(lv.select("source", "v"))
         new = cut_lineage(
-            cand.join(
-                state.select("source", "v"), ["source", "v"], "left_anti"
-            ).select(
-                "source", "v", F.lit(depth + 1).alias("dist"), "sigma"
+            cand.join(visited, ["source", "v"], "left_anti").select(
+                "source", "v", "sigma"
             )
         )
         if new.count() == 0:
             release(new)
             break
-        nxt = cut_lineage(state.union(new))
-        release(state)
-        state = nxt
-        frontier = new
+        levels.append(new)
         depth += 1
     else:
         raise RuntimeError(
@@ -316,10 +330,8 @@ def betweenness_superstep(
     acc = None  # running sum over sources+depths of delta(source, v)
     delta_prev = None  # delta rows for depth d+1
     for d in range(depth - 1, -1, -1):
-        nodes_d = state.filter(F.col("dist") == d).select(
-            "source", "v", "sigma"
-        )
-        succ = state.filter(F.col("dist") == d + 1).select(
+        nodes_d = levels[d]
+        succ = levels[d + 1].select(
             "source",
             F.col("v").alias("w"),
             F.col("sigma").alias("sigma_w"),
@@ -364,8 +376,13 @@ def betweenness_superstep(
         )
         release(acc)
         acc = new_acc
+        # levels[d+1] was read for the last time (as succ this round and
+        # as delta_prev's base last round) — free its blocks now instead
+        # of holding every frontier until the end
+        release(levels[d + 1])
     release(delta_prev)
-    release(state)
+    for lv in levels[: depth + 1]:
+        release(lv)
     sym.unpersist()
     if acc is None:
         return verts.select("v", F.lit(0.0).alias("betweenness"))

@@ -309,10 +309,14 @@ def _bidirectional_min_labels(
             (F.coalesce("fc", F.col("f")) < F.col("f")).alias("cf"),
             (F.coalesce("bc", F.col("b")) < F.col("b")).alias("cb"),
         )
-        if (i + 1) % 3 == 0:
-            new_state = cut_lineage(new_state)
-        else:
-            new_state = new_state.persist()
+        # cut EVERY round (lazily — the agg below materializes it in the
+        # same job), never persist: a persisted successor would
+        # lineage-depend on the previous round's cut, which release()
+        # frees right after — any later cache-block loss on a real
+        # cluster would then need a released checkpoint to recompute
+        # ("Checkpoint block not found").  Cut successors carry no
+        # lineage, so releasing their predecessor is always safe.
+        new_state = cut_lineage(new_state, eager=False)
         agg = new_state.agg(
             F.sum((F.col("cf") | F.col("cb")).cast("long")).alias("c")
         ).collect()[0]

@@ -29,6 +29,53 @@ def _sym_degrees(sym: DataFrame) -> DataFrame:
     return sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))
 
 
+class _PeelAccumulator:
+    """Folds per-round peel outputs into a running lineage-cut table so a
+    long peel sweep never builds an O(#rounds)-leg union plan (a
+    thousand-round continuous-weight sweep would otherwise hand Catalyst a
+    thousand-leg union — minutes of analysis time — and pin every round's
+    checkpoint blocks until the end).
+
+    Rounds are buffered and folded every ``fold_every`` rounds: the plan
+    any round sees is bounded at fold_every+1 legs, the accumulator is
+    rewritten only rounds/fold_every times (amortized O(|total|/fold_every)
+    checkpoint I/O per round — the same fold-don't-rewrite discipline as
+    betweenness_superstep's dependency accumulator), and each fold releases
+    the buffered peel cuts instead of holding all of them to the end."""
+
+    def __init__(self, fold_every: int = 32):
+        self.fold_every = fold_every
+        self.acc: DataFrame | None = None
+        self.parts: list[tuple[DataFrame, object]] = []  # (peel_cut, shell)
+
+    def add(self, peel: DataFrame, shell) -> None:
+        self.parts.append((peel, shell))
+        if len(self.parts) >= self.fold_every:
+            self._fold()
+
+    def _fold(self) -> None:
+        if not self.parts:
+            return
+        legs = [
+            p.select("v", F.lit(s).alias("coreness")) for p, s in self.parts
+        ]
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.union(leg)
+        if self.acc is not None:
+            u = self.acc.union(u)
+        new_acc = cut_lineage(u)
+        release(self.acc)
+        for p, _ in self.parts:
+            release(p)
+        self.acc = new_acc
+        self.parts = []
+
+    def result(self) -> DataFrame | None:
+        self._fold()
+        return self.acc
+
+
 def k_core_vertices(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     """Vertices of the k-core: iteratively delete degree < k.
     Returns DataFrame[v]."""
@@ -230,7 +277,7 @@ def coreness_peel(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     # neighbors are all peeled in one round becomes isolated (degree 0)
     # and must still be assigned the current shell value
     remaining = cut_lineage(vertices(sym))
-    results = []
+    results = _PeelAccumulator()
     k = 0
     for _ in range(max_rounds):
         deg = remaining.join(_sym_degrees(sym), "v", "left").select(
@@ -250,9 +297,6 @@ def coreness_peel(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         # never empty — no separate count action needed
         peel = cut_lineage(deg.filter(F.col("degree") <= k).select("v"))
         deg.unpersist()
-        # peel cuts feed the final union lazily — they must NOT be
-        # released here; remaining/sym are replaced each round and can be
-        results.append(peel.select("v", F.lit(k).alias("coreness")))
         prev_remaining = remaining
         remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
         release(prev_remaining)
@@ -264,16 +308,21 @@ def coreness_peel(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         )
         release(sym)
         sym = nxt
+        # accumulate AFTER the anti-joins above materialized: a fold
+        # releases buffered peel cuts, so nothing may still need them
+        results.add(peel, k)
     release(sym)
-    if not results:
+    out = results.result()
+    if out is None:
         return spark.createDataFrame([], "v long, coreness int")
-    out = results[0]
-    for r in results[1:]:
-        out = out.union(r)
     return out
 
 
-def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
+def weighted_coreness(
+    wedges: DataFrame,
+    max_rounds: int = 10000,
+    quantize: float | None = None,
+) -> DataFrame:
     """Distributed fractional (s-core) coreness: threshold-sweep peeling —
     shell value s = min remaining node weight; cascade-remove every node
     with remaining weight <= s; all removed in the cascade get coreness s.
@@ -284,6 +333,24 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     is exactly one threshold sweep per shell.  Input: DataFrame[src, dst,
     weight] (undirected, deduped upstream via builders.weighted_canonical).
     Returns DataFrame[v, coreness double].
+
+    Round-count bound: every round strictly raises the shell value to a
+    new distinct remaining-weight, so driver rounds <= #distinct shell
+    values.  Integer/decimal weight domains (the gated fixtures) converge
+    in a few rounds; CONTINUOUS real-valued weights can make every shell
+    distinct — rounds can approach V, which at web scale is a driver-bound
+    sweep no accumulator can save.  For such inputs pass ``quantize``: the
+    peel threshold each round is the min remaining weight rounded UP to
+    the quantize grid (shell = ceil(min_w / quantize) * quantize), so one
+    round retires an entire grid bucket and rounds <= weight-range /
+    quantize.  This CHANGES SEMANTICS — reported coreness values are the
+    grid shells, an upper rounding of the exact s-core values — which is
+    why it is opt-in and off for the exact gate path.
+
+    Plan/memory shape: per-round peels fold into a running lineage-cut
+    accumulator (``_PeelAccumulator``) — bounded plan width and amortized
+    checkpoint I/O regardless of round count (a thousand-round sweep
+    previously assembled a thousand-leg union plan).
     """
     spark = wedges.sparkSession
     sym = wedges.select("src", "dst", "weight").union(
@@ -293,7 +360,7 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
     ).persist()
     sym.count()
     remaining = cut_lineage(vertices(sym.select("src", "dst")))
-    results = []
+    results = _PeelAccumulator()
     shell = float("-inf")
     for _ in range(max_rounds):
         sums = sym.groupBy(F.col("src").alias("v")).agg(
@@ -307,10 +374,14 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         if agg["n"] == 0:
             w.unpersist()
             break
-        shell = max(shell, float(agg["min_w"]))
+        min_w = float(agg["min_w"])
+        if quantize is not None:
+            import math
+
+            min_w = math.ceil(min_w / quantize) * quantize
+        shell = max(shell, min_w)
         peel = cut_lineage(w.filter(F.col("w") <= shell).select("v"))
         w.unpersist()
-        results.append(peel.select("v", F.lit(shell).alias("coreness")))
         prev_remaining = remaining
         remaining = cut_lineage(remaining.join(peel, "v", "left_anti"))
         release(prev_remaining)
@@ -321,12 +392,12 @@ def weighted_coreness(wedges: DataFrame, max_rounds: int = 10000) -> DataFrame:
         )
         release(sym)
         sym = nxt
+        # accumulate AFTER the anti-joins: a fold releases buffered peels
+        results.add(peel, shell)
     release(sym)
-    if not results:
+    out = results.result()
+    if out is None:
         return spark.createDataFrame([], "v long, coreness double")
-    out = results[0]
-    for r in results[1:]:
-        out = out.union(r)
     return out
 
 

@@ -793,16 +793,21 @@ def ora_image_feature_stats(
         luma = (
             0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         )
+        # pre-round with spark_round (mirrors F.round's HALF_UP on the
+        # shortest repr) and emit unwrapped literals: means are k/768
+        # values, so decimal-half ties occur and DuckDB's round() on the
+        # exact binary disagrees on half-ulp ties (same hazard the video
+        # oracle documents with 8.3659375 -> .365938 vs .365937)
         rows.append(
             (
                 i,
                 width,
                 height,
-                float(rgb[:, :, 0].mean()),
-                float(rgb[:, :, 1].mean()),
-                float(rgb[:, :, 2].mean()),
-                float(luma.mean()),
-                float(luma.std()),
+                spark_round(float(rgb[:, :, 0].mean()), 6),
+                spark_round(float(rgb[:, :, 1].mean()), 6),
+                spark_round(float(rgb[:, :, 2].mean()), 6),
+                spark_round(float(luma.mean()), 6),
+                spark_round(float(luma.std()), 6),
             )
         )
     cols = [
@@ -815,14 +820,7 @@ def ora_image_feature_stats(
         ("luma_mean", "DOUBLE"),
         ("luma_std", "DOUBLE"),
     ]
-    return values_sql(
-        rows,
-        cols,
-        wrap=_round_wrap(
-            cols,
-            {"mean_r": 6, "mean_g": 6, "mean_b": 6, "luma_mean": 6, "luma_std": 6},
-        ),
-    )
+    return values_sql(rows, cols)
 
 
 def ora_video_feature_stats(

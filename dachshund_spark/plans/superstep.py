@@ -80,7 +80,19 @@ def release(df: DataFrame | None) -> None:
     locally-checkpointed RDD blocks for a ``cut_lineage`` product, plus any
     regular persist() cache.  Only call on states that nothing downstream
     will read again — a released cut cannot be recomputed (local
-    checkpoints discard lineage)."""
+    checkpoints discard lineage).
+
+    Executor-loss caveat (real clusters): "nothing downstream reads it"
+    must hold through RECOMPUTE paths, not just the happy path.  If a
+    successor state is merely persist()ed, its cached blocks still
+    lineage-depend on this cut; losing one of those blocks after the
+    release makes the successor unrecomputable ("Checkpoint block not
+    found" job failure).  The loop invariant every caller follows: a
+    successor must itself be a ``cut_lineage`` product, materialized
+    before its predecessor is released — then the only loss that matters
+    is of the successor's own checkpoint blocks, which is the inherent
+    localCheckpoint durability trade (use a CheckpointManager for
+    durable-resume jobs)."""
     if df is None:
         return
     jrdd = getattr(df, "_cut_rdd", None)
