@@ -391,6 +391,20 @@ def _q_betweenness_exact(spark, sf_dir):
     return bet.select("v", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _q_betweenness_superstep(spark, sf_dir):
+    # the designated giant-graph fallback (all-sources-simultaneous
+    # distributed Brandes supersteps; no per-task adjacency) on the SAME
+    # sampled sources as graph_betweenness_sampled, hash-matched against
+    # the same kernel oracle — proves the distributed path itself, not
+    # just the task-parallel kernel, computes Brandes exactly
+    from dachshund_spark.operators.centrality import betweenness_superstep
+
+    bet = betweenness_superstep(
+        copurchase_edges(spark, sf_dir), max_sources=100, seed=0
+    )
+    return bet.select("v", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_eigenvector_centrality(spark, sf_dir):
     from dachshund_spark.operators.centrality import eigenvector_centrality
 
@@ -1024,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_min_degree_prune_k16": _q_min_degree_prune_k16,
         "graph_betweenness_sampled": _q_betweenness_sampled,
         "graph_betweenness_exact": _q_betweenness_exact,
+        "graph_betweenness_superstep": _q_betweenness_superstep,
         "graph_eigenvector_centrality": _q_eigenvector_centrality,
         "graph_coreness_anomaly": _q_coreness_anomaly,
         "graph_weighted_coreness": _q_weighted_coreness,
@@ -1531,6 +1546,9 @@ FROM f"""
     sql["graph_min_degree_prune_k16"] = O.ora_min_degree_prune(d, 16)
     sql["graph_betweenness_sampled"] = O.ora_betweenness_sampled(d)
     sql["graph_betweenness_exact"] = O.ora_betweenness_exact(d)
+    # same sources, same kernel expectation — the superstep gate shares
+    # the sampled oracle by construction
+    sql["graph_betweenness_superstep"] = O.ora_betweenness_sampled(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)
