@@ -127,6 +127,7 @@ def coreness(
     max_rounds: int = 10000,
     checkpointer=None,
     checkpoint_every: int = 5,
+    fold_dense: bool = True,
 ) -> DataFrame:
     """Exact core number per vertex via the h-index fixpoint iteration
     (Montresor, De Pellegrini, Miorandi, "Distributed k-Core
@@ -190,38 +191,76 @@ def coreness(
             ),
         )
 
+    # density switch state: prev_changed / n_verts decides the per-round
+    # message plan (None on round 1 / after a resume -> dense)
+    prev_changed: int | None = None
+    n_verts: int | None = None
     for i in range(start_round, max_rounds):
         t0 = _time.time()
-        # frontier: a vertex's h-index can only drop if a NEIGHBOR's
-        # estimate changed last round, so recompute only neighbors of the
-        # changed set — per-round work decays with the cascade, exactly
-        # like connected_components' frontier
-        frontier = state.filter("chg").select("v")
-        cand = (
-            sym.join(frontier.withColumnRenamed("v", "src"), "src", "left_semi")
-            .select(F.col("dst").alias("v"))
-            .distinct()
-        )
         est = state.select("v", "est")
-        msgs = (
-            sym.join(cand.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .join(est, sym.src == est.v)
-            .select(F.col("dst").alias("v"), F.col("est").alias("nb"))
-        )
-        # h-index over compressed (distinct value, count) pairs:
-        # cumulative count of neighbors with estimate >= nb, descending;
-        # h = max(min(cumulative, nb))
-        counts = msgs.groupBy("v", "nb").agg(F.count("*").alias("c"))
         w = (
             Window.partitionBy("v")
             .orderBy(F.desc("nb"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        h = (
-            counts.withColumn("cum", F.sum("c").over(w))
-            .groupBy("v")
-            .agg(F.max(F.least(F.col("cum"), F.col("nb"))).alias("h"))
-        )
+        if fold_dense and (
+            prev_changed is None or prev_changed * 8 >= (n_verts or 0)
+        ):
+            # DENSE round (>=1/8 of vertices changed, or unknown): one
+            # sym⋈state join carrying the chg flag replaces the frontier
+            # semi-join + candidate distinct + message semi-join — 2
+            # exchanges/round instead of 4 (VERDICT r04 ask #7; the
+            # per-round driver floor is stage count, not bytes, at the
+            # bench scale).  Vertices with no changed neighbor are
+            # filtered after the h aggregate via max(nbchg).
+            msgs = sym.join(state, sym.src == state.v).select(
+                F.col("dst").alias("v"),
+                F.col("est").alias("nb"),
+                "chg",
+            )
+            counts = msgs.groupBy("v", "nb").agg(
+                F.count("*").alias("c"), F.max("chg").alias("nbchg")
+            )
+            h = (
+                counts.withColumn("cum", F.sum("c").over(w))
+                .groupBy("v")
+                .agg(
+                    F.max(F.least(F.col("cum"), F.col("nb"))).alias("h"),
+                    F.max("nbchg").alias("anychg"),
+                )
+                .filter("anychg")
+                .select("v", "h")
+            )
+        else:
+            # SPARSE round: a vertex's h-index can only drop if a
+            # NEIGHBOR's estimate changed last round, so recompute only
+            # neighbors of the changed set — per-round shuffle decays
+            # with the cascade, exactly like connected_components'
+            # frontier.  This is the 100×-scale path: the dense plan
+            # touches all E message rows every round regardless of how
+            # few vertices remain active.
+            frontier = state.filter("chg").select("v")
+            cand = (
+                sym.join(
+                    frontier.withColumnRenamed("v", "src"), "src", "left_semi"
+                )
+                .select(F.col("dst").alias("v"))
+                .distinct()
+            )
+            msgs = (
+                sym.join(cand.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                .join(est, sym.src == est.v)
+                .select(F.col("dst").alias("v"), F.col("est").alias("nb"))
+            )
+            # h-index over compressed (distinct value, count) pairs:
+            # cumulative count of neighbors with estimate >= nb,
+            # descending; h = max(min(cumulative, nb))
+            counts = msgs.groupBy("v", "nb").agg(F.count("*").alias("c"))
+            h = (
+                counts.withColumn("cum", F.sum("c").over(w))
+                .groupBy("v")
+                .agg(F.max(F.least(F.col("cum"), F.col("nb"))).alias("h"))
+            )
         new_state = (
             est.join(h, "v", "left")
             .select(
@@ -235,10 +274,12 @@ def coreness(
             )
         )
         new_state = cut_lineage(new_state, eager=False)
-        changed = (
-            new_state.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
-            or 0
-        )
+        stats = new_state.agg(
+            F.sum(F.col("chg").cast("long")).alias("chg"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        changed = stats["chg"] or 0
+        prev_changed, n_verts = int(changed), int(stats["n"])
         # the agg materialized new_state's checkpoint; the previous round's
         # blocks are now dead — drop them instead of letting ~38 rounds of
         # state accumulate on the heap
