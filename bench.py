@@ -199,8 +199,15 @@ def run_bench(
     cc2.count()
     queries["cc_twophase_event_chains"] = round(time.time() - t0, 3)
 
-    # --- SQL aggregations ---
-    for name in ("tpch_q1_pricing_summary", "events_user_activity", "doc_quality_scores"):
+    # --- SQL aggregations + LLM-pipeline dedup ---
+    # doc_minhash_lsh_pairs tracks the banded-LSH self-join dedup path
+    # (shingle explode -> minhash agg -> band bucket join -> jaccard
+    # verify) so the training-data-pipeline family has a headline perf
+    # number alongside the graph/SQL ones
+    for name in (
+        "tpch_q1_pricing_summary", "events_user_activity",
+        "doc_quality_scores", "doc_minhash_lsh_pairs",
+    ):
         t0 = time.time()
         entrymod.queries()[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)
@@ -351,7 +358,8 @@ def run_scaling(
     big: int = 8,
     runs: int = 3,
     mode: str = "threads",
-    partition_ab: int | None = 256,
+    partitions: int = 256,
+    partition_ab: int | None = 64,
 ) -> str:
     """north_rule scaling evidence: the same job on the same input at
     ``small`` vs ``big`` parallelism (``mode="threads"``: local[N] cores;
@@ -364,13 +372,24 @@ def run_scaling(
     best-of-N-per-size-independently systematically misleading (a lucky
     quiet small run deflates, a lucky quiet big run inflates).  The
     best-pair efficiency is reported next to every pair and next to the
-    measured pure-CPU hardware ceiling."""
+    measured pure-CPU hardware ceiling.
+
+    ``partitions``: shuffle partitions for the headline pairs.  256 (≥32
+    task waves on the big side) is the headline protocol as of round 5:
+    the round-3/4 default of 64 leaves only 8 waves per stage on the big
+    side, so one straggler task extends the stage barrier by 1/8 of the
+    stage — the measured dominant recoverable loss; at 256 the same
+    straggler costs 1/32 (r04: median 0.773 at 256 vs 0.659 at 64).  The
+    old 64-partition setting runs once as the supplementary A/B so the
+    barrier-tail effect stays quantified."""
     cores_factor = 1 if mode == "threads" else 2
     ceiling = _cpu_ceiling(small * cores_factor, big * cores_factor)
     ratio = big / small
     def child_with_retry(
-        n: int, attempts: int = 2, shuffle_partitions: int = 64
+        n: int, attempts: int = 2, shuffle_partitions: int | None = None
     ) -> dict:
+        if shuffle_partitions is None:
+            shuffle_partitions = partitions
         last = None
         for _ in range(attempts):
             try:
@@ -437,7 +456,7 @@ def run_scaling(
         f"{r_small['n_edges']} edges, power-law hubs), seed=42; sf dir `{sf_dir}`.",
         f"Job: PageRank, {r_small['pagerank']['supersteps']} supersteps in blocks of "
         f"{r_small['pagerank'].get('block_size', 1)}, identical code / input / "
-        "partitioning (64 shuffle partitions) at both sizes;",
+        f"partitioning ({partitions} shuffle partitions) at both sizes;",
         (
             f"cluster shape: local[{small}] vs local[{big}] executor threads "
             "(the task-instruction proxy: N and 4N cores, one host)"
@@ -480,11 +499,9 @@ def run_scaling(
         "```",
     ]
     if partition_ab:
-        # stage-barrier-tail probe: the standing hypothesis for the
-        # sub-ceiling efficiency is straggler tail latency at ~8 task
-        # waves per stage (64 partitions / 8 threads); more, smaller
-        # waves amortize a slow task across the stage.  One interleaved
-        # pair at partition_ab partitions quantifies it.
+        # stage-barrier-tail A/B: re-run one interleaved pair at the OLD
+        # 64-partition protocol so the straggler-amortization effect that
+        # motivated the 256 headline stays quantified in every report
         r_s2 = child_with_retry(small, shuffle_partitions=partition_ab)
         r_b2 = child_with_retry(big, shuffle_partitions=partition_ab)
         eps_s2 = r_s2["pagerank"]["edges_per_sec_per_superstep"]
@@ -492,16 +509,17 @@ def run_scaling(
         sp2 = eps_b2 / eps_s2
         lines += [
             "",
-            f"## Supplementary: shuffle-partition A/B (64 vs {partition_ab})",
+            f"## Supplementary: shuffle-partition A/B ({partitions} vs {partition_ab})",
             "",
-            "One extra interleaved pair at the same sizes with "
-            f"{partition_ab} shuffle partitions (≥{partition_ab // big} "
-            "task waves on the big side) probes the stage-barrier-tail "
-            "hypothesis for the sub-ceiling efficiency:",
+            f"One extra interleaved pair at the same sizes with {partition_ab} "
+            f"shuffle partitions ({partition_ab // big} task waves on the big "
+            "side, the round-3/4 protocol) quantifies the stage-barrier "
+            "straggler tail that motivated the "
+            f"{partitions}-partition headline:",
             "",
             "| partitions | small sec/superstep | big sec/superstep | speedup | efficiency |",
             "|---|---|---|---|---|",
-            f"| 64 (headline) | {r_small['pagerank']['sec_per_superstep_steady']} | "
+            f"| {partitions} (headline) | {r_small['pagerank']['sec_per_superstep_steady']} | "
             f"{r_big['pagerank']['sec_per_superstep_steady']} | {speedup:.2f}× | "
             f"{efficiency:.3f} |",
             f"| {partition_ab} | {r_s2['pagerank']['sec_per_superstep_steady']} | "

@@ -3,7 +3,13 @@
 DuckDB on the same sf dir; compare row count, schema width, and
 order-insensitive values (columns sorted by name, rows sorted).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json out.json]
+
+``--json`` additionally writes a machine-readable artifact in the driver's
+CORRECTNESS_r{N}.json row format ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err} per query; oracle-less queries get the
+driver's weaker rows-only record with hash_match null), so full-registry
+hash evidence is a checked-in JSON file rather than a prose transcript.
 """
 
 from __future__ import annotations
@@ -44,8 +50,14 @@ def normalize(df, float_dp=9):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -70,6 +82,7 @@ def main():
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = E.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -79,10 +92,19 @@ def main():
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(ex)[:400]}")
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {str(ex)[:200]}",
+            }
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(got_df)} rows (no oracle) [{spark_s:.1f}s]")
+            records[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(got_df), "oracle_rows": None, "err": None,
+            }
             continue
         t0 = time.time()
         try:
@@ -90,6 +112,11 @@ def main():
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(ex)[:400]}")
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got_df),
+                "oracle_rows": None, "err": f"duckdb error: {str(ex)[:200]}",
+            }
             continue
         duck_s = time.time() - t0
         gc, gv = normalize(got_df)
@@ -111,6 +138,14 @@ def main():
                     break
         if status == "FAIL":
             failures.append(name)
+        records[name] = {
+            "rows_match": len(gv) == len(wv),
+            "schema_match": gc == wc,
+            "hash_match": status != "FAIL",
+            "spark_rows": len(gv),
+            "oracle_rows": len(wv),
+            "err": None,
+        }
         print(
             f"{status}  {name}: {len(gv)} rows [spark {spark_s:.1f}s, duckdb {duck_s:.1f}s]{msg}"
         )
@@ -123,6 +158,12 @@ def main():
 
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)
