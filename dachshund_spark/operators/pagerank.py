@@ -47,18 +47,20 @@ def _csr_partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     (dst, partial) row per distinct dst in the partition."""
     import numpy as np
 
-    acc: dict = {}
+    parts: list[pd.DataFrame] = []
     for pdf in batches:
         if pdf.empty:
             continue
         codes, uniques = pd.factorize(pdf["dst"].to_numpy())
         sums = np.bincount(codes, weights=pdf["contrib"].to_numpy())
-        for d, s in zip(uniques, sums):
-            acc[d] = acc.get(d, 0.0) + s
-    if acc:
-        yield pd.DataFrame(
-            {"dst": list(acc.keys()), "partial": list(acc.values())}
-        )
+        parts.append(pd.DataFrame({"dst": uniques, "partial": sums}))
+    if parts:
+        out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if len(parts) > 1:
+            # cross-batch combine stays columnar (hash groupby over the
+            # per-batch distinct dsts) instead of a per-element dict loop
+            out = out.groupby("dst", sort=False, as_index=False)["partial"].sum()
+        yield out
 
 
 def pagerank(
