@@ -183,6 +183,22 @@ def run_bench(
     n_truss = k_truss_edges(cp, 10).count()
     queries["k_truss_k10"] = round(time.time() - t0, 3)
     extras["k_truss_k10_edges"] = n_truss
+
+    # --- betweenness: both physical paths on the SAME 100 md5-sampled
+    # sources (seed=0), so the giant-graph superstep fallback has a
+    # tracked perf identity next to the task-parallel default it backs up
+    from dachshund_spark.operators.centrality import (
+        betweenness,
+        betweenness_superstep,
+    )
+
+    t0 = time.time()
+    betweenness(cp, max_sources=100, seed=0).count()
+    queries["betweenness_taskpar_100src"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    betweenness_superstep(cp, max_sources=100, seed=0).count()
+    queries["betweenness_superstep_100src"] = round(time.time() - t0, 3)
     cp.unpersist()
 
     t0 = time.time()

@@ -528,7 +528,18 @@ def png_decode(payload: bytes):
     while pos + 8 <= len(payload):
         ln = struct.unpack_from(">I", payload, pos)[0]
         typ = payload[pos + 4:pos + 8]
+        # a corrupt declared length would silently truncate the slice and
+        # surface later as an unrelated zlib/scanline error — bound it
+        # against the remaining payload and fail at the actual cause
+        if pos + 12 + ln > len(payload):
+            raise ValueError(
+                f"corrupt PNG chunk {typ!r}: declared length {ln} exceeds "
+                "remaining payload"
+            )
         data = payload[pos + 8:pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG chunk {typ!r}: CRC mismatch")
         if typ == b"IHDR":
             w, h, bitd, ct, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data

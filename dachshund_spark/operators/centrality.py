@@ -179,6 +179,29 @@ def betweenness(
             f"default would fail task-side reads under master={master!r}"
         )
     canon = canonical_undirected(edges)
+    # cheap PRE-write guard: HLL-approximate the canonical pair count with
+    # a single scan + partial aggregate (no shuffle write), so a clearly
+    # over-budget graph fails before paying the full distributed parquet
+    # stage the exact check below sits behind.  The 1.2 slack covers the
+    # ~5% HLL rsd; borderline graphs fall through to the exact post-write
+    # count, which remains authoritative.
+    approx_edges = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter("a != b")
+        .agg(F.approx_count_distinct(F.struct("a", "b")).alias("n"))
+        .collect()[0]["n"]
+    )
+    if approx_edges > 1.2 * edge_budget:
+        raise RuntimeError(
+            f"betweenness: ~{approx_edges} canonical edges (approximate) "
+            f"exceed the per-task adjacency budget ({edge_budget}); every "
+            "task materializes the full edge list, so this would OOM "
+            "executors.  Either raise edge_budget (if executors have the "
+            "memory) or use betweenness_superstep(), which keeps the "
+            "graph distributed"
+        )
     root = scratch_dir or os.path.join(tempfile.gettempdir(), "dachshund_bet")
     path = os.path.join(root, f"edges-{uuid.uuid4().hex}")
     # everything from the scratch write onward sits inside try/finally so a
@@ -381,8 +404,9 @@ def betweenness_superstep(
         # of holding every frontier until the end
         release(levels[d + 1])
     release(delta_prev)
-    for lv in levels[: depth + 1]:
-        release(lv)
+    # the backward loop released levels[1..depth]; only levels[0] (the
+    # sources frontier) is still held — single-release invariant
+    release(levels[0])
     sym.unpersist()
     if acc is None:
         return verts.select("v", F.lit(0.0).alias("betweenness"))

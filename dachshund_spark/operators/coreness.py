@@ -171,6 +171,12 @@ def coreness(
         found = checkpointer.load_latest(spark)
         if found is not None:
             start_round, saved = found
+            if start_round >= max_rounds:
+                raise ValueError(
+                    f"checkpoint resumes at round {start_round}, already "
+                    f"past max_rounds={max_rounds}; rerun with a larger "
+                    "--max-iter (or clear the checkpoint dir to restart)"
+                )
             state = cut_lineage(saved)
     if state is None:
         state = cut_lineage(

@@ -209,6 +209,15 @@ def iterate(
 
     The returned state is persisted; callers unpersist when done.
     """
+    if start_iteration > 0 and start_iteration >= max_iter:
+        # a resumed checkpoint already at/past the iteration bound would
+        # skip the loop body entirely and die later with a misleading
+        # "did not converge" — refuse up front with the actual cause
+        raise ValueError(
+            f"checkpoint resumes at iteration {start_iteration}, already "
+            f"past max_iter={max_iter}; rerun with a larger --max-iter "
+            "(or clear the checkpoint dir to restart from scratch)"
+        )
     state = state.persist()
     state.count()
     metrics: list[SuperstepMetrics] = []

@@ -130,3 +130,36 @@ def test_coreness_checkpoint_resume(spark, tmp_path):
     assert cp.latest()[0] > 1
     meta = json.loads(open(cp.latest()[1] + ".metrics.json").read())
     assert meta["rows"] == 34 and meta["partitions"] > 0
+
+
+def test_resume_past_max_iter_refused(spark, tmp_path):
+    """Resuming with a --max-iter at/below the checkpointed round must
+    fail with the actual cause, not skip the loop and report a
+    misleading 'did not converge' (ADVICE r05)."""
+    import pytest
+
+    directed = KARATE_CLUB_EDGES + [(v, u) for u, v in KARATE_CLUB_EDGES]
+    e = B.edges_df(spark, directed)
+    root = str(tmp_path / "ckpt_room")
+    cp = CheckpointManager(root, "pr")
+    pagerank(e, tol=0.0, max_iter=6, checkpointer=cp)
+    assert cp.latest()[0] == 6
+    with pytest.raises(ValueError, match="past max_iter"):
+        pagerank(e, tol=0.0, max_iter=4, checkpointer=cp)
+
+
+def test_coreness_resume_past_max_rounds_refused(spark, tmp_path):
+    import pytest
+
+    from dachshund_spark.operators.coreness import coreness
+    from dachshund_spark.plans.superstep import SuperstepMetrics
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    cp = CheckpointManager(str(tmp_path / "ckpt_cor"), "coreness")
+    state = spark.range(5).selectExpr(
+        "id as v", "cast(id as double) as est", "true as chg"
+    )
+    cp.save(state, SuperstepMetrics(
+        superstep=7, rows=5, delta=1.0, seconds=0.1, partitions=1))
+    with pytest.raises(ValueError, match="past max_rounds"):
+        coreness(e, max_rounds=7, checkpointer=cp)

@@ -546,3 +546,25 @@ def test_extract_features_magic_dispatch(spark):
     # unknown magic stays an honest NotImplementedError
     with pytest.raises(NotImplementedError):
         M.decode_samples(b"JPEG-ish opaque bytes")
+
+
+def test_png_decode_corrupt_chunk_rejected():
+    # a corrupt declared chunk length or CRC must fail AT the chunk walk
+    # with the actual cause, not downstream as a zlib/scanline error
+    import struct
+
+    import numpy as np
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(M.png_encode(rgb))
+    # inflate the IHDR declared length beyond the remaining payload
+    bad_len = bytearray(payload)
+    struct.pack_into(">I", bad_len, 8, 10_000)
+    with pytest.raises(ValueError, match="corrupt PNG chunk"):
+        M.png_decode(bytes(bad_len))
+    # flip one IDAT byte: CRC no longer matches
+    idat_at = bytes(payload).index(b"IDAT")
+    bad_crc = bytearray(payload)
+    bad_crc[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        M.png_decode(bytes(bad_crc))

@@ -7,9 +7,10 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json out.json]
 
 ``--json`` additionally writes a machine-readable artifact in the driver's
 CORRECTNESS_r{N}.json row format ({rows_match, schema_match, hash_match,
-spark_rows, oracle_rows, err} per query; oracle-less queries get the
-driver's weaker rows-only record with hash_match null), so full-registry
-hash evidence is a checked-in JSON file rather than a prose transcript.
+spark_rows, oracle_rows, err} per query; oracle-less queries get null
+matches plus status="no_oracle" — nothing was compared, only the row
+count recorded), so full-registry hash evidence is a checked-in JSON
+file rather than a prose transcript.
 """
 
 from __future__ import annotations
@@ -54,6 +55,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_correctness.py [sf_dir] [query ...] --json OUT.json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
@@ -100,9 +103,13 @@ def main():
             continue
         spark_s = time.time() - t0
         if name not in oracles:
+            # nothing was compared: record null matches + an explicit
+            # status so a consumer counting green rows cannot mistake an
+            # oracle-less query for a verified one
             print(f"rows  {name}: {len(got_df)} rows (no oracle) [{spark_s:.1f}s]")
             records[name] = {
-                "rows_match": True, "schema_match": None, "hash_match": None,
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "status": "no_oracle",
                 "spark_rows": len(got_df), "oracle_rows": None, "err": None,
             }
             continue
