@@ -375,7 +375,7 @@ def run_scaling(
     runs: int = 3,
     mode: str = "threads",
     partitions: int = 256,
-    partition_ab: int | None = 64,
+    partition_ab: tuple[int, ...] = (64, 512),
 ) -> str:
     """north_rule scaling evidence: the same job on the same input at
     ``small`` vs ``big`` parallelism (``mode="threads"``: local[N] cores;
@@ -515,32 +515,43 @@ def run_scaling(
         "```",
     ]
     if partition_ab:
-        # stage-barrier-tail A/B: re-run one interleaved pair at the OLD
-        # 64-partition protocol so the straggler-amortization effect that
-        # motivated the 256 headline stays quantified in every report
-        r_s2 = child_with_retry(small, shuffle_partitions=partition_ab)
-        r_b2 = child_with_retry(big, shuffle_partitions=partition_ab)
-        eps_s2 = r_s2["pagerank"]["edges_per_sec_per_superstep"]
-        eps_b2 = r_b2["pagerank"]["edges_per_sec_per_superstep"]
-        sp2 = eps_b2 / eps_s2
+        # shuffle-partition probes: one extra interleaved pair each at the
+        # OLD 64-partition protocol (the stage-barrier-tail A/B that
+        # motivated the 256 headline) and at 512 (does finer task-wave
+        # amortization extend past 256, or does per-task fixed overhead
+        # take over?)
+        probe_rows = [
+            f"| {partitions} (headline) | "
+            f"{r_small['pagerank']['sec_per_superstep_steady']} | "
+            f"{r_big['pagerank']['sec_per_superstep_steady']} | {speedup:.2f}× | "
+            f"{efficiency:.3f} |",
+        ]
+        for np_ in partition_ab:
+            r_s2 = child_with_retry(small, shuffle_partitions=np_)
+            r_b2 = child_with_retry(big, shuffle_partitions=np_)
+            eps_s2 = r_s2["pagerank"]["edges_per_sec_per_superstep"]
+            eps_b2 = r_b2["pagerank"]["edges_per_sec_per_superstep"]
+            sp2 = eps_b2 / eps_s2
+            probe_rows.append(
+                f"| {np_} | {r_s2['pagerank']['sec_per_superstep_steady']} | "
+                f"{r_b2['pagerank']['sec_per_superstep_steady']} | {sp2:.2f}× | "
+                f"{sp2 / ratio:.3f} |"
+            )
         lines += [
             "",
-            f"## Supplementary: shuffle-partition A/B ({partitions} vs {partition_ab})",
+            f"## Supplementary: shuffle-partition probes "
+            f"({partitions} headline vs {', '.join(map(str, partition_ab))})",
             "",
-            f"One extra interleaved pair at the same sizes with {partition_ab} "
-            f"shuffle partitions ({partition_ab // big} task waves on the big "
-            "side, the round-3/4 protocol) quantifies the stage-barrier "
-            "straggler tail that motivated the "
-            f"{partitions}-partition headline:",
+            "One extra interleaved pair per setting at the same sizes: 64 "
+            f"partitions ({64 // big} task waves on the big side, the "
+            "round-3/4 protocol) quantifies the stage-barrier straggler "
+            f"tail that motivated the {partitions}-partition headline; 512 "
+            "probes whether finer waves keep helping past 256 or per-task "
+            "fixed overhead takes over:",
             "",
             "| partitions | small sec/superstep | big sec/superstep | speedup | efficiency |",
             "|---|---|---|---|---|",
-            f"| {partitions} (headline) | {r_small['pagerank']['sec_per_superstep_steady']} | "
-            f"{r_big['pagerank']['sec_per_superstep_steady']} | {speedup:.2f}× | "
-            f"{efficiency:.3f} |",
-            f"| {partition_ab} | {r_s2['pagerank']['sec_per_superstep_steady']} | "
-            f"{r_b2['pagerank']['sec_per_superstep_steady']} | {sp2:.2f}× | "
-            f"{sp2 / ratio:.3f} |",
+            *probe_rows,
         ]
     return "\n".join(lines)
 

@@ -399,3 +399,41 @@ def test_coreness_anomaly_and_averaged_ties(spark):
     )
     ranks = {r["v"]: r["rank"] for r in averaged_ties_rank(scores, "s").collect()}
     assert ranks == {4: 1.0, 1: 2.5, 2: 2.5, 3: 4.0}
+
+
+def test_weighted_coreness_quantized_semantics(spark):
+    """The opt-in ``quantize`` grid (the continuous-weight scale path)
+    must honor its documented contract: shells land ON the grid as an
+    UPPER rounding of the exact s-core values, and a grid that divides
+    every weight reproduces the exact sweep bit-for-bit (reference
+    goldens: tests/weighted_graph.rs:105-133)."""
+    from dachshund_spark.operators.builders import weighted_canonical
+    from dachshund_spark.operators.coreness import weighted_coreness
+    from tests.fixtures import weighted_graph_edges
+
+    for idx in (4, 5, 6):
+        fixture = weighted_graph_edges(idx)
+        e = weighted_canonical(B.edges_df(spark, fixture, weighted=True))
+        exact = {r["v"]: r["coreness"] for r in weighted_coreness(e).collect()}
+
+        # fine grid dividing every remaining-weight sum: identical output
+        fine = {
+            r["v"]: r["coreness"]
+            for r in weighted_coreness(e, quantize=0.25).collect()
+        }
+        if all(abs(w / 0.25 - round(w / 0.25)) < 1e-9 for *_e, w in fixture):
+            assert fine == exact, idx
+
+        # coarse grid: every shell is a grid multiple and an upper
+        # rounding of (i.e. >=) the exact shell; the round bound shrinks
+        # to weight-range/q (here: strictly fewer distinct shells)
+        q = 2.0
+        coarse = {
+            r["v"]: r["coreness"]
+            for r in weighted_coreness(e, quantize=q).collect()
+        }
+        assert set(coarse) == set(exact), idx
+        for v, s in coarse.items():
+            assert abs(s / q - round(s / q)) < 1e-9, (idx, v, s)
+            assert s >= exact[v] - 1e-9, (idx, v, s, exact[v])
+        assert len(set(coarse.values())) <= len(set(exact.values()))

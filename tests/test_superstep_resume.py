@@ -163,3 +163,35 @@ def test_coreness_resume_past_max_rounds_refused(spark, tmp_path):
         superstep=7, rows=5, delta=1.0, seconds=0.1, partitions=1))
     with pytest.raises(ValueError, match="past max_rounds"):
         coreness(e, max_rounds=7, checkpointer=cp)
+
+
+def test_coreness_resume_identical_at_gate_scale(spark, tmp_path):
+    """north_rule resumability at the correctness-gate scale (sf0.01
+    copurchase graph, the graph_coreness gate input): checkpoint every
+    2 rounds, abort mid-cascade, resume in a fresh lineage, and require
+    the resumed result to equal the straight-through checkpointer-free
+    run EXACTLY — not just on the toy fixtures."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    from dachshund_spark.operators.coreness import coreness
+
+    e = E.copurchase_edges(spark, "/root/testdata/sf0.01").persist()
+    want = {r["v"]: r["coreness"] for r in coreness(e).collect()}
+
+    cp = CheckpointManager(str(tmp_path / "ckpt_gate"), "coreness_gate")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(e, max_rounds=3, checkpointer=cp, checkpoint_every=2)
+    aborted_at = cp.latest()[0]
+    assert 0 < aborted_at <= 3
+
+    got = {
+        r["v"]: r["coreness"]
+        for r in coreness(e, checkpointer=cp, checkpoint_every=2).collect()
+    }
+    e.unpersist()
+    assert cp.latest()[0] > aborted_at
+    assert got == want
