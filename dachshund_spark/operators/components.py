@@ -247,7 +247,7 @@ def connected_components_two_phase(
 
 
 def _bidirectional_min_labels(
-    edges: DataFrame, verts: DataFrame, max_iter: int
+    edges: DataFrame, verts: DataFrame, max_iter: int, cut_every: int = 3
 ) -> DataFrame:
     """Forward AND backward hash-min label propagation fused into one
     superstep loop: state carries (v, f, b) where f(v) = min id that
@@ -283,6 +283,16 @@ def _bidirectional_min_labels(
         F.lit(True).alias("cb"),
     ).persist()
     state.count()
+    # deferred-release window: states whose cached blocks are still
+    # reachable through a live successor's lineage (a persisted round's
+    # plan reads its predecessor on recompute).  They are freed only once
+    # a cut_lineage product — which carries NO lineage — has materialized
+    # on top of them, so nothing recomputable ever references freed
+    # blocks.  cut_every=1 degenerates to cut-and-release every round;
+    # the windowed default amortizes the localCheckpoint partition copy
+    # over `cut_every` rounds (the A/B that set the default is in
+    # BENCH/PLANS.md round 6).
+    pending: list[DataFrame] = []
     converged = False
     for i in range(max_iter):
         msgs = (
@@ -309,30 +319,51 @@ def _bidirectional_min_labels(
             (F.coalesce("fc", F.col("f")) < F.col("f")).alias("cf"),
             (F.coalesce("bc", F.col("b")) < F.col("b")).alias("cb"),
         )
-        # cut EVERY round (lazily — the agg below materializes it in the
-        # same job), never persist: a persisted successor would
-        # lineage-depend on the previous round's cut, which release()
-        # frees right after — any later cache-block loss on a real
-        # cluster would then need a released checkpoint to recompute
-        # ("Checkpoint block not found").  Cut successors carry no
-        # lineage, so releasing their predecessor is always safe.
-        new_state = cut_lineage(new_state, eager=False)
+        is_cut_round = (i + 1) % cut_every == 0
+        if is_cut_round:
+            # lazy cut: the agg below materializes the checkpoint in the
+            # same job — one action per superstep either way
+            new_state = cut_lineage(new_state, eager=False)
+        else:
+            new_state = new_state.persist()
         agg = new_state.agg(
             F.sum((F.col("cf") | F.col("cb")).cast("long")).alias("c")
         ).collect()[0]
-        release(state)
+        if is_cut_round:
+            # the materialized cut carries no lineage: every older state
+            # in the window is now unreachable from anything live
+            for p in pending:
+                release(p)
+            pending.clear()
+            release(state)
+        else:
+            # successor is persist-only — its recompute path still reads
+            # `state` (and transitively the window); defer the release
+            pending.append(state)
         state = new_state
         if not agg["c"]:
             converged = True
             break
     if not converged:
+        for p in pending:
+            release(p)
+        release(state)
+        adj.unpersist()
         raise RuntimeError(
             f"bidirectional min-label propagation did not reach fixpoint "
             f"in {max_iter} supersteps; raise max_iter"
         )
-    out = state.select("v", "f", "b")
+    if pending:
+        # converged mid-window: the state is persist-only and its
+        # recompute lineage still reaches the window — hand the window to
+        # the caller's release(state) instead of paying an extra eager
+        # checkpoint job here (the caller derives an eager cut from this
+        # state before releasing it, per release()'s documented contract)
+        state._deferred = pending
     adj.unpersist()
-    return out
+    # the caller derives its (eagerly cut) result from this state, then
+    # must release(state) to free it and any deferred window behind it
+    return state
 
 
 def strongly_connected_components(
@@ -369,14 +400,21 @@ def strongly_connected_components(
                 "v", F.col("f").alias("component")
             )
         )
+        # settled is an EAGER cut — labels' checkpoint blocks (V rows per
+        # outer round) can be freed now instead of waiting for JVM GC
+        release(labels)
         results.append(settled)
-        remaining = cut_lineage(remaining.join(settled, "v", "left_anti"))
+        new_remaining = cut_lineage(remaining.join(settled, "v", "left_anti"))
+        release(remaining)  # eager cut above — predecessor unreachable
+        remaining = new_remaining
         n_left = remaining.count()
         done = settled.select("v")
-        cur = cut_lineage(
+        new_cur = cut_lineage(
             cur.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
         )
+        release(cur)
+        cur = new_cur
     if n_left != 0:
         raise RuntimeError(
             f"strongly_connected_components: {n_left} vertices unsettled "

@@ -105,6 +105,12 @@ def release(df: DataFrame | None) -> None:
         df.unpersist()
     except Exception:  # pragma: no cover
         pass
+    # a producer may hand over predecessors whose blocks its OWN lineage
+    # still needed (deferred-release window, e.g. a persist-only state
+    # returned mid-window): once the caller releases the product, the
+    # window is unreachable too
+    for dep in getattr(df, "_deferred", ()):  # pragma: no branch
+        release(dep)
 
 
 @dataclass
