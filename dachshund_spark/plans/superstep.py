@@ -227,6 +227,15 @@ def iterate(
     state = state.persist()
     state.count()
     metrics: list[SuperstepMetrics] = []
+    # deferred-release window (same discipline as the SCC inner loop): a
+    # persist-only round's recompute lineage still reads its predecessors,
+    # so superseded states are freed only once a lineage-FREE successor —
+    # a cut_lineage leaf or a durable parquet reread — has materialized on
+    # top of them.  This replaces the old unpersist-immediately pattern,
+    # whose cut-leaf blocks were freed only when the JVM ContextCleaner
+    # happened to GC them (measured: driver heap accumulation across a
+    # 55-query gate run forced clearCache+gc between queries).
+    pending: list[DataFrame] = []
     converged = False
     i = start_iteration
     while i < max_iter:
@@ -249,6 +258,7 @@ def iterate(
             partitions=new_state.rdd.getNumPartitions(),
         )
         metrics.append(m)
+        sealed = False
         if checkpointer is not None and (
             i % checkpoint_every == 0 or delta <= tol or i == max_iter
         ):
@@ -256,12 +266,24 @@ def iterate(
             new_state.unpersist()
             new_state = reread.persist()
             new_state.count()
-        elif i % checkpoint_every == 0:
-            # lineage cut without durability (stats reset included)
+            sealed = True  # parquet reread carries no lineage
+        elif i % checkpoint_every == 0 or delta <= tol or i == max_iter:
+            # lineage cut without durability (stats reset included); also
+            # seals the final round so the returned state never drags a
+            # window of superseded predecessors behind it
             cut = cut_lineage(new_state)
             new_state.unpersist()
             new_state = cut
-        state.unpersist()
+            sealed = True
+        if sealed:
+            # the lineage-free successor is materialized: every older
+            # state in the window is unreachable from anything live
+            for p in pending:
+                release(p)
+            pending.clear()
+            release(state)
+        else:
+            pending.append(state)
         state = new_state
         if delta <= tol:
             converged = True
