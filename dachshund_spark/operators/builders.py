@@ -116,14 +116,17 @@ def min_degree_prune(edges: DataFrame, min_degree: int, max_iter: int = 100) -> 
         if n_bad == 0:
             bad.unpersist()
             break
-        from ..plans.superstep import cut_lineage
+        from ..plans.superstep import cut_lineage, release
 
         nxt = cut_lineage(
             cur.join(bad, cur.src == bad.v, "left_anti")
             .join(bad, cur.dst == bad.v, "left_anti")
             # lineage cut — the plan otherwise grows ~3x per round
         )
-        cur.unpersist()
+        # nxt is an EAGER lineage-free cut: the superseded cur (itself a
+        # cut product after round 1 — release frees its checkpoint RDD
+        # blocks, which plain unpersist leaves to JVM GC) is unreachable
+        release(cur)
         bad.unpersist()
         cur = nxt
     return cur

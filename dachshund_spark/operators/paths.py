@@ -27,7 +27,7 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
     onto the checkpoint leaf (the frontier is re-derived as
     ``dist == depth`` rather than kept as its own chained DataFrame,
     which would otherwise carry the uncut history across cut points)."""
-    from ..plans.superstep import cut_lineage
+    from ..plans.superstep import cut_lineage, release
 
     spark = edges.sparkSession
     adj = edges.select("src", "dst").repartition("src").persist()
@@ -35,6 +35,11 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
     dist = spark.createDataFrame([(int(source), 0)], "v long, dist int").persist()
     frontier = dist
     depth = 0
+    # deferred-release window (the engine-wide lineage discipline): on
+    # persist-only depths the new dist's recompute lineage still reads its
+    # union predecessors, so superseded tables are freed only once a
+    # lineage-free cut has materialized on top of them — never earlier
+    window: list = []
     while depth < max_depth:
         depth += 1
         nxt = (
@@ -45,24 +50,39 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 10000) -> Data
             .persist()
         )
         if nxt.count() == 0:
-            nxt.unpersist()
+            release(nxt)
             break
         new_dist = dist.union(nxt)
         if depth % 3 == 0:
-            new_dist = cut_lineage(new_dist)
+            new_dist = cut_lineage(new_dist)  # eager: lineage-free leaf
             new_frontier = new_dist.filter(F.col("dist") == depth)
-            nxt.unpersist()
+            # everything older is now unreachable from anything live
+            for p in (*window, dist, nxt):
+                release(p)
+            if frontier is not dist:
+                release(frontier)
+            window.clear()
         else:
             new_dist = new_dist.persist()
             new_dist.count()
-            new_frontier = nxt
-        dist.unpersist()
-        if frontier is not dist:
-            frontier.unpersist()
+            new_frontier = nxt  # stays live: it is the next message source
+            window.append(dist)
+            if frontier is not dist:
+                window.append(frontier)
         dist = new_dist
         frontier = new_frontier
-    if frontier is not dist:
-        frontier.unpersist()
+    if window:
+        # exited mid-window: seal with one eager cut so the returned table
+        # is lineage-free and the window can be released now
+        prev = dist
+        dist = cut_lineage(dist)
+        for p in (*window, prev):
+            release(p)
+        if frontier is not prev:
+            release(frontier)
+        window.clear()
+    elif frontier is not dist:
+        release(frontier)
     adj.unpersist()
     return dist
 
