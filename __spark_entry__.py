@@ -765,6 +765,12 @@ def _q_exact_dups(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    from dachshund_spark.functions.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     from dachshund_spark.functions.dedup import lsh_candidate_pairs
 
@@ -1068,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_exact_duplicates": _q_exact_dups,
+        "doc_winnow_fingerprints": _q_winnow_fingerprints,
         "doc_minhash_lsh_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_simhash": _q_simhash,
@@ -1339,6 +1346,31 @@ FROM scored"""
 SELECT md5({_NORM_SQL}) AS fingerprint,
        min(doc_id) AS rep_doc_id, count(*) AS dup_count
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
+    # winnowing (MOSS) fingerprints, k=8 window=4: per-position k-gram md5
+    # prefixes, window minima via a bounded-following window frame, then a
+    # set digest over the sorted distinct minima — mirrors
+    # textops.winnow_fingerprints exactly (md5/substr are bit-identical
+    # across Spark and DuckDB)
+    sql["doc_winnow_fingerprints"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         substr(md5(substr(norm, CAST(i AS INTEGER), 8)), 1, 16) AS h,
+         length(norm) - 8 + 1 AS p
+  FROM base, LATERAL unnest(generate_series(1, length(norm) - 8 + 1)) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, i, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM pos
+),
+fps AS (SELECT DISTINCT doc_id, wmin FROM winmin WHERE i <= p - 3)
+SELECT doc_id, count(*) AS n_fingerprints,
+       md5(string_agg(wmin, '' ORDER BY wmin)) AS fingerprint_digest
+FROM fps GROUP BY doc_id"""
     minhash_cols = ", ".join(
         f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(12)
     )

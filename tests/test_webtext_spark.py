@@ -98,6 +98,63 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
 
 
+def _py_winnow(text, k=8, w=4):
+    """Pure-python winnowing kernel (the test oracle): md5-prefix k-gram
+    hashes, min per guarantee window, sorted-distinct set digest."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    p = len(norm) - k + 1
+    if p < w:
+        return None
+    hs = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()[:16]
+        for i in range(p)
+    ]
+    mins = sorted({min(hs[j : j + w]) for j in range(p - w + 1)})
+    return (len(mins), hashlib.md5("".join(mins).encode()).hexdigest())
+
+
+def test_winnow_fingerprints_match_python_kernel(spark, docs):
+    sample = docs.limit(30)
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fingerprint_digest"])
+        for r in T.winnow_fingerprints(sample, k=8, window=4).collect()
+    }
+    want = {
+        r["doc_id"]: _py_winnow(r["text"])
+        for r in sample.collect()
+        if _py_winnow(r["text"]) is not None
+    }
+    assert got == want
+
+
+def test_winnow_fingerprints_edge_semantics(spark):
+    k, w = 8, 4
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "tiny"),  # len < k: no k-grams -> dropped
+            (2, "exactly11ch"),  # 11 = k + w - 1: exactly one window
+            (3, long_a),
+            (4, long_a.replace(" ", "   ")),  # whitespace-normalizes to #3
+            (5, long_a[:-1] + "x"),  # one-char change
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fingerprint_digest"])
+        for r in T.winnow_fingerprints(df, k=k, window=w).collect()
+    }
+    assert 1 not in got
+    assert got[2] == _py_winnow("exactly11ch", k, w)
+    assert got[2][0] == 1
+    assert got[3] == got[4]  # normalization invariance
+    assert got[3] != got[5]
+    assert got[3] == _py_winnow(long_a, k, w)
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [
