@@ -874,6 +874,43 @@ def _q_events_sessions(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+def _q_burst_sessions_stateful(spark, sf_dir):
+    # the applyInPandasWithState custom sessionizer, driven END-TO-END as
+    # a real streaming job (file source -> availableNow -> memory sink);
+    # append mode emits exactly the watermark-finalized sessions, so the
+    # oracle is the events_sessions gaps-and-islands SQL restricted to
+    # sessions whose end strictly precedes the final watermark
+    # (max event time, ms-floored, minus the 2h delay).
+    import os
+    import tempfile
+    import uuid
+
+    from dachshund_spark.streaming.events import burst_sessions_stateful
+
+    d = tempfile.mkdtemp(prefix="burst_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-0.parquet"),
+    )
+    name = f"evt_bursts_{uuid.uuid4().hex[:8]}"
+    q = (
+        burst_sessions_stateful(spark, d, "30 minutes", "2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("burst_start").alias("session_start"),
+        F.col("burst_end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_emb_near_dups(spark, sf_dir):
     # embedding-cosine near-duplicate detection, LSH path: bucket
     # self-join candidates -> exact cosine >= 0.9 re-check.  Fixture is
@@ -1085,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clique_miner_long": _q_clique_miner_long,
         "events_hourly_counts": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_burst_sessions_stateful": _q_burst_sessions_stateful,
         "doc_embedding_near_dups": _q_emb_near_dups,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1441,6 +1479,36 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, sid"""
+    # stateful-stream variant: same sessionization, restricted to sessions
+    # finalized by the end-of-stream watermark (ms-floored max event time
+    # minus the 2h delay), mirroring append-mode emission exactly
+    sql["events_burst_sessions_stateful"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+WHERE epoch_ms(session_end)
+      < (SELECT max(epoch_ms(ts)) FROM events) - 7200000"""
     sql["events_hourly_counts"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value

@@ -109,6 +109,142 @@ def stream_windowed_event_counts(
     return windowed_event_counts(stream, window)
 
 
+def burst_sessions_stateful(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Custom stateful sessionization via ``applyInPandasWithState`` — the
+    arbitrary-state escape hatch for operators ``session_window`` cannot
+    express.  Semantics here intentionally MATCH ``session_stats`` (events
+    closer than ``gap`` merge; session_end = last event + gap) so the
+    batch form is an exact oracle; the machinery is the general one:
+
+    - state per user = the OPEN bursts as parallel arrays
+      (start_ms, last_ms, n_events, value_sum) — interval-merged, so late
+      events (within the watermark) that bridge two open bursts merge them;
+    - a burst finalizes only when the event-time watermark passes
+      last event + gap (never eagerly mid-batch), so no emitted row can
+      ever be contradicted by late data the watermark still admits;
+    - ``GroupStateTimeout.EventTimeTimeout`` armed at the earliest open
+      burst's end drives emission; timed-out groups re-arm for their
+      remaining bursts.
+
+    State is O(open bursts per user) — bounded by the watermark horizon,
+    independent of stream length; at scale the groupBy hash-partitions
+    users across executors and the pandas function sees Arrow batches.
+    Output rows: (user_id, burst_start, burst_end, n_events, total_value),
+    append mode (only watermark-finalized bursts are emitted).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # burst bookkeeping in MICROSECONDS (event-time columns are µs);
+    # watermark/timeout interactions in ms (Spark's watermark granularity,
+    # floor of the µs event time — mirrors EventTimeWatermarkExec)
+    gap_us = _duration_ms(gap) * 1000
+    out_schema = (
+        "user_id long, burst_start timestamp_ntz, burst_end timestamp_ntz, "
+        "n_events long, total_value double"
+    )
+    state_schema = (
+        "starts array<long>, lasts array<long>, ns array<long>, "
+        "sums array<double>"
+    )
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        bursts: list[list] = []
+        if state.exists:
+            starts, lasts, ns, sums = state.get
+            bursts = [list(t) for t in zip(starts, lasts, ns, sums)]
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            ).tolist()
+            vals = pdf["value"].astype(float).fillna(0.0).tolist()
+            for t, v in sorted(zip(ts_us, vals)):
+                bursts.append([t, t, 1, v])
+        # interval-merge: any two bursts within gap of each other fuse
+        # (also merges batch events into carried-over open bursts)
+        bursts.sort()
+        merged: list[list] = []
+        for b in bursts:
+            if merged and b[0] <= merged[-1][1] + gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], b[1])
+                m[2] += b[2]
+                m[3] += b[3]
+            else:
+                merged.append(b)
+        wm_ms = state.getCurrentWatermarkMs()
+        # finalize strictly-passed bursts ("watermark advances beyond"):
+        # a burst whose end floors to == wm has NOT timed out, stays open
+        closed = [b for b in merged if (b[1] + gap_us) // 1000 < wm_ms]
+        open_ = [b for b in merged if (b[1] + gap_us) // 1000 >= wm_ms]
+        if open_:
+            state.update(
+                (
+                    [int(b[0]) for b in open_],
+                    [int(b[1]) for b in open_],
+                    [int(b[2]) for b in open_],
+                    [float(b[3]) for b in open_],
+                )
+            )
+            # next timeout = earliest open end; must be strictly beyond
+            # the current watermark or Spark rejects it (end == wm case)
+            state.setTimeoutTimestamp(
+                max(min(b[1] for b in open_) // 1000 + gap_us // 1000,
+                    wm_ms + 1)
+            )
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "burst_start": pd.to_datetime(
+                        [b[0] for b in closed], unit="us"
+                    ),
+                    "burst_end": pd.to_datetime(
+                        [b[1] + gap_us for b in closed], unit="us"
+                    ),
+                    "n_events": [int(b[2]) for b in closed],
+                    "total_value": [round(float(b[3]), 6) for b in closed],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(path)
+        .withWatermark("ts", watermark)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style duration string ('30 minutes', '2 hours') to ms."""
+    qty, unit = spec.strip().split()
+    factor = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(qty) * factor
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str, window: str = "1 hour"
 ):

@@ -414,6 +414,58 @@ def test_session_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_burst_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState custom sessionizer == batch session_stats
+    restricted to watermark-finalized sessions (the exact append-mode
+    contract: a session emits iff the final watermark strictly passed
+    last_event + gap)."""
+    import math
+    import os
+
+    from dachshund_spark.streaming import events as E
+
+    gap, wm_delay = "30 minutes", "2 hours"
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    max_ts_ms = batch.select(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    final_wm_ms = max_ts_ms - E._duration_ms(wm_delay)
+    want = {}
+    sessions = E.session_stats(batch, gap).withColumn(
+        "end_ms", F.unix_millis(F.col("session_end").cast("timestamp"))
+    )
+    for r in sessions.collect():
+        if r["end_ms"] < final_wm_ms:
+            want[(r["user_id"], str(r["session_start"]))] = (
+                str(r["session_end"]), r["n_events"], r["total_value"]
+            )
+    assert want  # fixture must finalize some sessions
+
+    stream_dir = tmp_path / "events_burst"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_DIR}/events.parquet", stream_dir / "part-0.parquet")
+    sdf = E.burst_sessions_stateful(spark, str(stream_dir), gap, wm_delay)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evt_bursts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["burst_start"])): (
+            str(r["burst_end"]), r["n_events"], r["total_value"]
+        )
+        for r in spark.sql("SELECT * FROM evt_bursts").collect()
+    }
+    assert set(got) == set(want)
+    for k, (g_end, g_n, g_v) in got.items():
+        w_end, w_n, w_v = want[k]
+        assert (g_end, g_n) == (w_end, w_n)
+        assert math.isclose(g_v, w_v, abs_tol=2e-6)
+
+
 def test_embedding_near_dups(spark):
     # LSH near-dup path must recover >= 99% of the exact pair set on the
     # clustered fixture while never producing a wrong pair (the cosine
