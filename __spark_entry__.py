@@ -765,6 +765,12 @@ def _q_exact_dups(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    from dachshund_spark.functions.textops import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     from dachshund_spark.functions.textops import winnow_fingerprints
 
@@ -1112,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_lang_id,
         "doc_exact_duplicates": _q_exact_dups,
         "doc_winnow_fingerprints": _q_winnow_fingerprints,
+        "doc_bpe_token_counts": _q_bpe_token_counts,
         "doc_minhash_lsh_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_simhash": _q_simhash,
@@ -1348,6 +1355,15 @@ SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        length(text) AS n_chars
+FROM documents"""
+    sql["doc_bpe_token_counts"] = """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+           AS n_bpe_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_ws_tokens
 FROM documents"""
     sql["doc_quality_scores"] = """
 WITH base AS (

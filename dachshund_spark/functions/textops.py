@@ -44,6 +44,27 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, restricted to syntax RE2 and
+# Java regex agree on — no lookahead/backrefs): contraction suffixes,
+# optionally space-prefixed letter runs, digit runs, and punctuation runs.
+# Pure-whitespace runs are skipped, not counted.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counts under a BPE-ish pre-tokenizer regex next to the plain
+    whitespace count — the cheap budget estimator a pretraining pipeline
+    runs before the real tokenizer.  Pure SQL expressions (JVM regex
+    engine, whole-stage codegen), no UDFs."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias(
+            "n_bpe_tokens"
+        ),
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality features: length, token count, punctuation ratio,
     stopword ratio, mean token length — the standard cheap filters in a
