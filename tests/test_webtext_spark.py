@@ -98,6 +98,31 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
 
 
+def test_bpe_token_counts(spark):
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (1, "It's a test-case: 42 tokens, isn't it?"),
+            (2, "   "),
+            (3, "word"),
+            (4, "I'll we've they'd don't CAN'T"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+        for r in T.bpe_token_counts(df).collect()
+    }
+    pat = re.compile(T.BPE_TOKEN_RE)
+    for doc_id, text in [(1, "It's a test-case: 42 tokens, isn't it?"),
+                         (2, "   "), (3, "word"),
+                         (4, "I'll we've they'd don't CAN'T")]:
+        n_bpe = len(pat.findall(text))
+        n_ws = 0 if not text.strip() else len(text.split())
+        assert got[doc_id] == (n_bpe, n_ws), (doc_id, got[doc_id], (n_bpe, n_ws))
+
+
 def _py_winnow(text, k=8, w=4):
     """Pure-python winnowing kernel (the test oracle): md5-prefix k-gram
     hashes, min per guarantee window, sorted-distinct set digest."""
