@@ -765,6 +765,30 @@ def _q_exact_dups(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # composite pipeline stage: near-duplicate CLUSTERING — banded-MinHash
+    # candidate pairs become an undirected graph whose connected components
+    # are the duplicate clusters (rep = min doc_id, the hash-min LP
+    # contract); the standard reduce step before keep-one-per-cluster.
+    # Exercises the pipeline family feeding the graph engine in one plan.
+    from dachshund_spark.functions.dedup import lsh_candidate_pairs
+    from dachshund_spark.operators.components import connected_components
+
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=12, bands=4
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
 def _q_bpe_token_counts(spark, sf_dir):
     from dachshund_spark.functions.textops import bpe_token_counts
 
@@ -1119,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_duplicates": _q_exact_dups,
         "doc_winnow_fingerprints": _q_winnow_fingerprints,
         "doc_bpe_token_counts": _q_bpe_token_counts,
+        "doc_dedup_clusters": _q_dedup_clusters,
         "doc_minhash_lsh_pairs": _q_minhash_pairs,
         "doc_ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_simhash": _q_simhash,
@@ -1443,6 +1468,38 @@ buckets AS ({band_union})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id"""
+    # duplicate clusters = connected components of the LSH pair graph;
+    # min-label closure with the "label flows only to larger ids" prune —
+    # the component minimum still reaches every member (all intermediates
+    # on a path from the minimum exceed it), and min(l) per vertex is
+    # unaffected by other labels' pruned propagation
+    sql["doc_dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+mh AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {band_cols} FROM mh),
+buckets AS ({band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.l < e.dst
+),
+comp AS (SELECT v, min(l) AS cluster_rep FROM reach GROUP BY v)
+SELECT c.v AS doc_id, c.cluster_rep, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_rep, count(*) AS cluster_size
+      FROM comp GROUP BY cluster_rep) s
+  ON c.cluster_rep = s.cluster_rep"""
     sql["doc_ngram_jaccard_pairs"] = f"""
 WITH {_SHINGLE_SQL},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
