@@ -276,9 +276,18 @@ def betweenness_superstep(
     max_sources: int | None = 100,
     seed: int = 0,
     max_depth: int = 200,
+    defer_fold: bool = False,
 ) -> DataFrame:
     """Brandes betweenness for graphs over ``betweenness``'s per-task
     adjacency budget: the graph never leaves the cluster.
+
+    ``defer_fold``: fold the per-depth dependency rows into the running
+    (v, partial) accumulator once at the END (one union + one groupBy)
+    instead of per depth.  Saves one cut-action + V-row checkpoint per
+    depth at the cost of holding every depth's delta blocks (~|sources|x|V|
+    rows total, the same order as the forward levels) until the final
+    fold.  Default False: per-depth folding keeps peak storage at one
+    depth's delta, the right trade on a memory-bound cluster.
 
     All selected sources run SIMULTANEOUSLY as DataFrame supersteps keyed
     by (source, v) — forward BFS accumulates shortest-path counts sigma
@@ -352,6 +361,8 @@ def betweenness_superstep(
     # round so every intermediate can be released immediately
     acc = None  # running sum over sources+depths of delta(source, v)
     delta_prev = None  # delta rows for depth d+1
+    deps = []  # defer_fold: lazy per-depth dep projections over cut leaves
+    pending_delta = []  # defer_fold: superseded delta leaves, freed at fold
     for d in range(depth - 1, -1, -1):
         nodes_d = levels[d]
         succ = levels[d + 1].select(
@@ -388,21 +399,36 @@ def betweenness_superstep(
                 ).alias("delta")
             )
         )
-        release(delta_prev)
+        if defer_fold and delta_prev is not None:
+            pending_delta.append(delta_prev)  # dep still reads its blocks
+        else:
+            release(delta_prev)
         delta_prev = delta_d
         dep = delta_d.filter(F.col("v") != F.col("source")).select(
             "v", F.col("delta").alias("partial")
         )
-        folded = dep if acc is None else acc.union(dep)
-        new_acc = cut_lineage(
-            folded.groupBy("v").agg(F.sum("partial").alias("partial"))
-        )
-        release(acc)
-        acc = new_acc
+        if defer_fold:
+            deps.append(dep)
+        else:
+            folded = dep if acc is None else acc.union(dep)
+            new_acc = cut_lineage(
+                folded.groupBy("v").agg(F.sum("partial").alias("partial"))
+            )
+            release(acc)
+            acc = new_acc
         # levels[d+1] was read for the last time (as succ this round and
         # as delta_prev's base last round) — free its blocks now instead
         # of holding every frontier until the end
         release(levels[d + 1])
+    if defer_fold and deps:
+        folded = deps[0]
+        for dp in deps[1:]:
+            folded = folded.union(dp)
+        acc = cut_lineage(
+            folded.groupBy("v").agg(F.sum("partial").alias("partial"))
+        )
+        for dl in pending_delta:
+            release(dl)
     release(delta_prev)
     # the backward loop released levels[1..depth]; only levels[0] (the
     # sources frontier) is still held — single-release invariant

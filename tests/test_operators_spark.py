@@ -225,6 +225,13 @@ def test_betweenness_edge_budget_and_superstep_fallback(spark):
         for r in betweenness(e, sources=[1, 2, 3]).collect()
     }
     assert all(abs(got_s[v] - exact_s[v]) <= 1e-6 for v in exact_s)
+    # defer_fold (one union-fold after the backward pass) is bit-identical
+    # to the per-depth default — same joins, same aggregation grouping
+    deferred = {
+        r["v"]: r["betweenness"]
+        for r in betweenness_superstep(e, defer_fold=True).collect()
+    }
+    assert deferred == got
 
 
 def test_distributed_weighted_coreness(spark):
