@@ -98,6 +98,30 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
 
 
+def test_dedup_clusters_planted(spark):
+    """LSH pairs -> connected-components clustering recovers planted
+    duplicate groups: rep = min doc_id, size = group size, non-dup docs
+    absent."""
+    from dachshund_spark.functions.dedup import lsh_candidate_pairs
+    from dachshund_spark.operators.components import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base), (2, base), (3, base + " again"),     # cluster rep=1
+        (10, "completely different text about spark catalyst optimizer internals"),
+        (20, "entirely unrelated musings on winnowing fingerprints and shingles"),
+        (30, "third unique document with its own vocabulary and no overlap"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs, n=3, num_hashes=12, bands=4)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    got = {(r["v"], r["component"]) for r in cc.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
 def test_bpe_token_counts(spark):
     import re
 
