@@ -1090,6 +1090,76 @@ def _q_tpch_q5(spark, sf_dir):
     return j.groupBy("n_name").agg((F.sum(rev) / 10000.0).alias("revenue"))
 
 
+def _q_anf_sketch(spark, sf_dir):
+    # deterministic FM sketches of every vertex's distance-<=3 ball on the
+    # copurchase graph — hash-checked bit-for-bit against the sequential
+    # kernel (oracles.ora_anf); see operators/anf.py for the design
+    from dachshund_spark.operators.anf import anf_sketches
+
+    return anf_sketches(copurchase_edges(spark, sf_dir), rounds=3, k=4)
+
+
+def _q_host_graph(spark, sf_dir):
+    # synthesize Common-Crawl-style pages (sources.pages, BASELINE.json
+    # input_hint schema), run the REAL extraction path (pandas-UDF html
+    # parse), roll page links up to the host-level graph.  The oracle
+    # re-derives the expected host pairs from the synthesis arithmetic
+    # alone, so a single byte wrong in extraction breaks the hash — this
+    # puts the byte-identical-extraction invariant inside the hash gate.
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import host_graph, synthesize_pages
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    return host_graph(extract(pages))
+
+
+def _q_ppr(spark, sf_dir):
+    # personalized PageRank: teleport mass restricted to the deterministic
+    # seed set v % 17 == 0; oracle = DuckDB recursive-CTE mirror (same
+    # pattern as graph_pagerank_5iter)
+    from dachshund_spark.operators.builders import symmetrized
+    from dachshund_spark.operators.pagerank import pagerank
+
+    e = symmetrized(copurchase_edges(spark, sf_dir))
+    seeds = (
+        e.select(F.col("src").alias("v"))
+        .distinct()
+        .filter(F.pmod("v", F.lit(17)) == 0)
+    )
+    pr = pagerank(e, tol=0.0, max_iter=5, impl="sql", teleport=seeds)
+    return pr.select("v", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _q_assortativity(spark, sf_dir):
+    from dachshund_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(copurchase_edges(spark, sf_dir))
+
+
+def _q_link_reciprocity(spark, sf_dir):
+    # reciprocity of the DIRECTED page-link graph (event chains are
+    # time-ordered and so structurally reciprocity-free; the web graph is
+    # the natural digraph with genuine mutual links).  Runs the full
+    # synthesize -> extract -> edge-materialization path.
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.graphstats import reciprocity
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    return reciprocity(edges_from_extracted(extract(pages)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1162,6 +1232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "graph_anf_sketch_t3": _q_anf_sketch,
+        "web_host_graph": _q_host_graph,
+        "graph_personalized_pagerank_5iter": _q_ppr,
+        "graph_degree_assortativity": _q_assortativity,
+        "web_link_reciprocity": _q_link_reciprocity,
     }
 
 
@@ -1347,6 +1422,46 @@ pr0 AS (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM verts),
 SELECT v, round(r, 6) AS pagerank FROM pr5"""
     sql["graph_pagerank_5iter"] = pr_sql
     sql["graph_pagerank_csr_5iter"] = pr_sql
+    # personalized variant: restart + (zero, on the symmetric graph)
+    # dangling mass flow to p(v) = 1/|seeds| on the seed set
+    ppr_iter = """
+ppr{k} AS (
+  SELECT pv.v, 0.15 * pv.p + 0.85 * coalesce(s.m, 0) AS r
+  FROM pv LEFT JOIN (
+    SELECT sym.dst AS v, sum(ppr{j}.r / outd.d) AS m
+    FROM sym JOIN ppr{j} ON sym.src = ppr{j}.v JOIN outd ON sym.src = outd.src
+    GROUP BY sym.dst
+  ) s ON pv.v = s.v
+)"""
+    sql["graph_personalized_pagerank_5iter"] = f"""
+WITH {_CP_SQL},
+ns AS (SELECT count(*) AS c FROM verts WHERE v % 17 = 0),
+pv AS (SELECT v, CASE WHEN v % 17 = 0 THEN 1.0 / (SELECT c FROM ns)
+                      ELSE 0.0 END AS p FROM verts),
+outd AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+ppr0 AS (SELECT v, p AS r FROM pv),
+{",".join(ppr_iter.format(k=k, j=k - 1) for k in range(1, 6))}
+SELECT v, round(r, 6) AS pagerank FROM ppr5"""
+    sql["graph_degree_assortativity"] = f"""
+WITH {_CP_SQL},
+dd AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+ee AS (
+  SELECT a.d AS ds, b.d AS dd
+  FROM sym JOIN dd a ON sym.src = a.src JOIN dd b ON sym.dst = b.src
+),
+agg AS (
+  SELECT count(*) AS m, sum(ds) AS sx, sum(dd) AS sy,
+         sum(ds * dd) AS sxy, sum(ds * ds) AS sxx, sum(dd * dd) AS syy
+  FROM ee
+)
+SELECT m AS m_edges,
+       (cast(m as double) * cast(sxy as double)
+        - cast(sx as double) * cast(sy as double))
+       / sqrt((cast(m as double) * cast(sxx as double)
+        - cast(sx as double) * cast(sx as double))
+       * (cast(m as double) * cast(syy as double)
+        - cast(sy as double) * cast(sy as double))) AS assortativity
+FROM agg"""
     lp_iter = """
 l{k} AS (
   SELECT v, label FROM (
@@ -1722,6 +1837,9 @@ FROM f"""
     # same sources, same kernel expectation — the superstep gate shares
     # the sampled oracle by construction
     sql["graph_betweenness_superstep"] = O.ora_betweenness_sampled(d)
+    sql["graph_anf_sketch_t3"] = O.ora_anf(d, rounds=3, k=4)
+    sql["web_host_graph"] = O.ora_host_graph(d)
+    sql["web_link_reciprocity"] = O.ora_link_reciprocity(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

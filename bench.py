@@ -199,6 +199,15 @@ def run_bench(
     t0 = time.time()
     betweenness_superstep(cp, max_sources=100, seed=0).count()
     queries["betweenness_superstep_100src"] = round(time.time() - t0, 3)
+
+    # --- ANF sketches: the approximate-distinct-within-t superstep whose
+    # bit_or aggregate OR-combines map-side (the hub-skew-proof plan;
+    # see operators/anf.py and BENCH/PLANS.md round 6)
+    from dachshund_spark.operators.anf import anf_sketches
+
+    t0 = time.time()
+    anf_sketches(cp, rounds=3, k=8).count()
+    queries["anf_sketch_t3_k8"] = round(time.time() - t0, 3)
     cp.unpersist()
 
     t0 = time.time()

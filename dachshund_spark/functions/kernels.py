@@ -1063,3 +1063,53 @@ def _floor3(x):
 
 def graph_stats_json(adj, seed=None):
     return json.dumps(graph_stats(adj, seed=seed), sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# ANF / HyperBall-family sketch oracle (no reference counterpart: the
+# reference's connectivity family, connected_components.rs:26-155, is
+# exact-only; see operators/anf.py for the public-literature citations)
+# ---------------------------------------------------------------------------
+
+
+def anf_init(v, k):
+    """The k initial Flajolet-Martin registers of vertex v — bit-identical
+    to operators.anf._init_register_exprs (md5 -> first 15 hex chars ->
+    trailing-zero count -> single set bit)."""
+    import hashlib
+
+    regs = []
+    for i in range(k):
+        x = int(hashlib.md5(f"{v}:{i}".encode()).hexdigest()[:15], 16)
+        p = 60 if x == 0 else (x & -x).bit_length() - 1
+        regs.append(1 << p)
+    return regs
+
+
+def anf_sketches(adj, rounds, k):
+    """{v: neighbors} -> {v: [r0..r{k-1}]} after ``rounds`` OR-merge
+    supersteps: register set of v summarizes the distance-<=rounds ball."""
+    state = {v: anf_init(v, k) for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            regs = list(state[v])
+            for u in nbrs:
+                su = state[u]
+                for i in range(k):
+                    regs[i] |= su[i]
+            new[v] = regs
+        state = new
+    return state
+
+
+def anf_estimate(regs):
+    """FM correction for one vertex's registers: 2^mean(lowest zero bit)
+    / 0.77351 (mirrors operators.anf.anf_estimates)."""
+    lows = []
+    for r in regs:
+        p = 0
+        while r & (1 << p):
+            p += 1
+        lows.append(p)
+    return 2.0 ** (sum(lows) / len(regs)) / 0.77351

@@ -1,0 +1,120 @@
+"""Approximate neighborhood function (ANF / HyperBall family).
+
+Estimates, for every vertex simultaneously, the number of distinct
+vertices within distance <= t — the primitive behind effective-diameter
+and centrality estimates on web-scale link graphs (Palmer et al., "ANF: a
+fast and scalable tool for data mining in massive graphs", KDD'02;
+Boldi & Vigna, "HyperBall", 2013 — both public).  The reference engine has
+no counterpart (its connectivity family, connected_components.rs:26-155,
+computes exact components only); this is a scale-path addition: exact
+per-vertex ball sizes need |V| BFS runs, while the sketch runs in t
+supersteps total for ALL vertices at once.
+
+Design (Spark-first, zero UDFs):
+
+- Per vertex, ``k`` Flajolet-Martin bitmaps, each a 64-bit BIGINT column
+  ``r0..r{k-1}``.  Register i of vertex v starts with one bit set at the
+  trailing-zero count of a 60-bit integer drawn from ``md5(v ':' i)`` —
+  fully deterministic, so the distributed result is hash-comparable to
+  the sequential kernel oracle (``functions.kernels.anf_sketches``).
+- One superstep = neighbors' sketches OR-merged into each vertex:
+  an edge join + ``bit_or`` aggregate.  ``bit_or`` is commutative and
+  associative, so Catalyst's partial aggregation OR-combines map-side;
+  a hub vertex with 10^7 in-links costs one partial row per shuffle
+  partition, not 10^7 shuffled messages.  This is the property that
+  makes the sketch the 100 TB path where exact distinct-within-t
+  (a t-hop self-join + count distinct) is not.
+- After t rounds, ``r_i(v)`` summarizes the distance-<=t ball around v;
+  ``anf_estimates`` turns the registers into a cardinality estimate with
+  the standard FM correction (2^mean(lowest-zero-bit) / 0.77351).
+
+All expressions (md5, conv, bit_count, shiftleft, bit_or, power) are JVM
+built-ins inside whole-stage codegen; state stays (v, k bigints) — 8-ish
+bytes/register — so the shuffle per superstep is O(|E|) rows of fixed
+width regardless of ball sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.superstep import cut_lineage, release
+from .builders import symmetrized
+
+FM_PHI = 0.77351  # Flajolet-Martin bias correction constant
+
+
+def _init_register_exprs(k: int) -> list[str]:
+    """SQL expressions for the k initial FM registers of column ``v``.
+
+    Register i: take the first 15 hex chars (60 bits) of md5("<v>:<i>"),
+    set the single bit at that integer's trailing-zero count.  The
+    sequential oracle (kernels.anf_sketches) computes the identical
+    hashlib.md5 -> int(hex[:15], 16) -> (x & -x).bit_length()-1 chain, so
+    registers are bit-identical across the two implementations.
+    """
+    exprs = []
+    for i in range(k):
+        x = (
+            "cast(conv(substring(md5(cast(concat(cast(v as string), "
+            f"':', '{i}') as binary)), 1, 15), 16, 10) as bigint)"
+        )
+        # trailing-zero count of a positive 60-bit value; x = 0 (prob
+        # 2^-60 per register) maps past every real position
+        p = f"(case when {x} = 0 then 60 else bit_count(({x} & -{x}) - 1) end)"
+        exprs.append(f"shiftleft(cast(1 as bigint), {p}) as r{i}")
+    return exprs
+
+
+def anf_sketches(edges: DataFrame, rounds: int = 3, k: int = 8) -> DataFrame:
+    """(src, dst) -> (v, r0..r{k-1}): FM sketches of each vertex's
+    distance-<=``rounds`` ball on the symmetrized graph.
+
+    Each round is one shuffle (the edge join) + one aggregate whose
+    partials OR-combine map-side; state is released via the cut-leaf
+    discipline (each new state is an eager ``cut_lineage`` leaf, so the
+    superseded one frees immediately — no deferred window needed).
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    sym = symmetrized(edges).repartition("src").persist()
+    sym.count()
+    regs = [f"r{i}" for i in range(k)]
+    state = cut_lineage(
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .selectExpr("v", *_init_register_exprs(k))
+    )
+    aggs = [F.bit_or(r).alias(r) for r in regs]
+    for _ in range(rounds):
+        msgs = sym.join(state, sym.dst == state.v).select(
+            F.col("src").alias("v"), *regs
+        )
+        new_state = cut_lineage(
+            state.unionByName(msgs).groupBy("v").agg(*aggs)
+        )
+        release(state)
+        state = new_state
+    sym.unpersist()
+    return state
+
+
+def anf_estimates(sketches: DataFrame, k: int = 8) -> DataFrame:
+    """(v, r0..r{k-1}) -> (v, nf_est): FM cardinality estimate of the
+    ball each sketch summarizes: 2^(mean lowest-zero-bit) / 0.77351.
+
+    ``r ^ (r+1)`` sets exactly the bits up to and including the lowest
+    zero bit, so its bit_count minus one is that bit's position — pure
+    integer ops until the final power, all codegen'd.  (Registers never
+    set bit 63 — positions are trailing-zero counts <= 60 — so the +1
+    cannot overflow.)
+    """
+    lows = [
+        f"(bit_count(r{i} ^ (r{i} + cast(1 as bigint))) - 1)"
+        for i in range(k)
+    ]
+    mean = "(" + " + ".join(lows) + f") / cast({k} as double)"
+    return sketches.selectExpr(
+        "v", f"power(cast(2 as double), {mean}) / {FM_PHI} as nf_est"
+    )

@@ -74,6 +74,7 @@ def pagerank(
     join_strategy: str = "auto",
     checkpoint_every: int = 1,
     block_size: int = 1,
+    teleport: DataFrame | None = None,
 ):
     """Directed PageRank over DataFrame[src, dst]; returns
     DataFrame[v: long, pagerank: double] summing to 1.
@@ -81,6 +82,15 @@ def pagerank(
     Multi-edges contribute multiply (weights are per-edge, as in a raw
     link table); pre-deduplicate upstream if simple-graph semantics are
     wanted.
+
+    ``teleport``: optional DataFrame[v] of seed vertices for PERSONALIZED
+    PageRank (Page et al. 1999 §6; Haveliwala, topic-sensitive PageRank,
+    WWW'02 — public literature; no reference counterpart).  The teleport
+    vector becomes p(v) = 1/|seeds| on seeds, 0 elsewhere: ranks start at
+    p, the (1-d) restart and the dangling redistribution both flow to p
+    instead of uniform 1/n.  Plan shape is unchanged — p rides in the
+    cached ``static`` table the per-superstep left join already touches,
+    so personalization costs zero extra shuffles per superstep.
 
     ``block_size`` chains that many supersteps lazily into ONE Spark
     action (the dangling mass is folded in as an in-plan one-row
@@ -94,6 +104,21 @@ def pagerank(
     """
     verts = vertices(edges).persist()
     n = verts.count()
+
+    pvec = None
+    if teleport is not None:
+        seeds = teleport.select("v").distinct()
+        ns = seeds.count()
+        if ns == 0:
+            raise ValueError("personalized pagerank: teleport set is empty")
+        pvec = verts.join(
+            seeds.withColumn("s", F.lit(1)), "v", "left"
+        ).select(
+            "v",
+            F.when(F.col("s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
     links = (
@@ -117,9 +142,12 @@ def pagerank(
             out_deg.select(F.col("src").alias("v"), F.lit(False).alias("nd")),
             "v",
             "left",
-        ).select(
+        )
+        if pvec is not None:
+            state0 = state0.join(pvec, "v")
+        state0 = state0.select(
             "v",
-            F.lit(1.0 / n).alias("rank"),
+            (F.lit(1.0 / n) if pvec is None else F.col("p")).alias("rank"),
             F.lit(1.0).alias("delta"),
             F.col("nd").isNull().alias("dangling"),
         )
@@ -155,9 +183,20 @@ def pagerank(
             sums = partials.groupBy("dst").agg(F.sum("partial").alias("mass"))
         else:
             sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
-        base = F.lit((1.0 - damping) / n) + F.lit(damping / n) * dangling_mass_col
+        if pvec is None:
+            base = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping / n) * dangling_mass_col
+            )
+            sv = static.select("v")
+        else:
+            # restart and dangling mass both flow to the teleport vector
+            base = (
+                F.lit(1.0 - damping) * F.col("p")
+                + F.lit(damping) * dangling_mass_col * F.col("p")
+            )
+            sv = static.select("v", "p")
         new_rank = base + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-        sv = static.select("v")
         return sv.join(sums, sv.v == sums.dst, "left").select(
             "v", new_rank.alias("rank")
         )
@@ -167,7 +206,10 @@ def pagerank(
     # against this cached table (never against the previous lazy state, a
     # second reference to which would double the uncached plan per step —
     # measured as 2^k blow-up)
-    static = state0.select("v", "dangling").repartition("v").persist()
+    static = state0.select("v", "dangling")
+    if pvec is not None:
+        static = static.join(pvec, "v")
+    static = static.repartition("v").persist()
     # (hash-partitioned on v so the per-sub-iteration full-vertex left join
     # reuses the cached layout instead of re-exchanging every superstep)
     has_dangling = static.filter("dangling").limit(1).count() > 0

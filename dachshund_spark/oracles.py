@@ -1061,3 +1061,96 @@ def ora_media_feature_stats(d: str, seed: int = 42, dim: int = 8) -> str:
         rows.append((i, kind, spark_round(acc / dim, 5)))
     cols = [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("feat_mean", "DOUBLE")]
     return values_sql(rows, cols)
+
+
+def ora_anf(d: str, rounds: int = 3, k: int = 4) -> str:
+    """Sequential FM-sketch oracle for graph_anf_sketch_t3 — identical
+    md5-seeded registers, OR-merged over the same copurchase adjacency
+    (operators/anf.py holds the literature citations)."""
+    from .functions import kernels as K
+
+    st = K.anf_sketches(_cp_adj(d), rounds, k)
+    rows = sorted((v, *regs) for v, regs in st.items())
+    return values_sql(
+        rows,
+        [("v", "BIGINT")] + [(f"r{i}", "BIGINT") for i in range(k)],
+    )
+
+
+def host_graph_pages(d: str) -> int:
+    """Page count for the web_host_graph gate at a given sf dir — scales
+    10x with the gate scale like the on-disk tables do."""
+    return 40000 if d.rstrip("/").endswith("sf0.1") else 4000
+
+
+def page_targets(i: int, n_pages: int, n_hubs: int = 16,
+                 seed: int = 7) -> list:
+    """Pure-python replication of sources.pages.synthesize_pages' link
+    arithmetic (pages.py:45-60) for one page: the ordered, deduped,
+    self-link-free outlink target list embedded in page i's html."""
+    hub = (i * 31 + seed) % n_hubs
+    kk = (i * (seed + 13)) % 7 + 1
+    raw = [hub] + [
+        (i * 2654435761 + (j + 1) * 40503 + seed * 7919) % n_pages
+        for j in range(1, kk + 1)
+    ]
+    seen: set = set()
+    targets = []
+    for t in raw:  # array_union: first-occurrence order, deduped
+        if t not in seen and t != i:
+            seen.add(t)
+            targets.append(t)
+    return targets
+
+
+def host_rollup_rows(n_pages: int, n_sites: int = 53, n_hubs: int = 16,
+                     seed: int = 7) -> list:
+    """Expected host-level rollup of the synthesized page graph — the
+    Spark side must parse the SAME targets back out of the html bytes
+    (the byte-identical extraction invariant) to hash-match this."""
+    from collections import defaultdict
+
+    links: dict = defaultdict(int)
+    srcs: dict = defaultdict(set)
+    for i in range(n_pages):
+        sh = f"site{i % n_sites}.test"
+        for t in page_targets(i, n_pages, n_hubs, seed):
+            dh = f"site{t % n_sites}.test"
+            links[(sh, dh)] += 1
+            srcs[(sh, dh)].add(i)
+    return sorted(
+        (sh, dh, c, len(srcs[(sh, dh)])) for (sh, dh), c in links.items()
+    )
+
+
+def ora_host_graph(d: str) -> str:
+    return values_sql(
+        host_rollup_rows(host_graph_pages(d)),
+        [
+            ("src_host", "VARCHAR"),
+            ("dst_host", "VARCHAR"),
+            ("links", "BIGINT"),
+            ("src_pages", "BIGINT"),
+        ],
+    )
+
+
+def ora_link_reciprocity(d: str, n_hubs: int = 16, seed: int = 7) -> str:
+    """Exact reciprocity of the synthesized directed page-link graph
+    (operators/graphstats.py reciprocity over edges_from_extracted)."""
+    n_pages = host_graph_pages(d)
+    edges = {
+        (i, t)
+        for i in range(n_pages)
+        for t in page_targets(i, n_pages, n_hubs, seed)
+    }
+    n = len(edges)
+    r = sum(1 for (i, t) in edges if (t, i) in edges)
+    return values_sql(
+        [(n, r, r / n)],
+        [
+            ("n_edges", "BIGINT"),
+            ("n_reciprocal", "BIGINT"),
+            ("reciprocity", "DOUBLE"),
+        ],
+    )

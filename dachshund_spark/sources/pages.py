@@ -114,3 +114,45 @@ def edges_from_extracted(extracted: DataFrame) -> DataFrame:
         F.explode("outlinks").alias("target"),
     ).select("src", url_id(F.col("target")).alias("dst"))
     return raw.join(crawled, "dst", "left_semi")
+
+
+def host_of(col) -> Column:
+    """Registrable host of a url (the text between the scheme and the
+    first path slash).  Pure JVM regexp — stays inside codegen."""
+    return F.regexp_extract(col, r"^https?://([^/]+)/", 1)
+
+
+def host_graph(extracted: DataFrame) -> DataFrame:
+    """(url, outlinks) -> host-level link-graph rollup:
+    (src_host, dst_host, links, src_pages).
+
+    The standard first aggregation over a Common-Crawl-scale page graph:
+    page-level edges are ~10^13 at 10^12 documents, host-level pairs are
+    ~10^8 — the rollup is what downstream host-rank / spam analyses read.
+    ``links`` counts page-level links (after the in-crawl semi-join the
+    page-level edge materialization also applies, pages.py:106-117);
+    ``src_pages`` counts distinct linking pages.
+
+    Scale shape: the groupBy key is (src_host, dst_host), whose count
+    partials combine map-side, so a hub host pair costs one partial per
+    map partition.  count(DISTINCT url) adds Spark's two-phase expand —
+    exact here because the gate hashes it; at 10^12 pages swap it for
+    approx_count_distinct(url) (same plan minus the expand).
+    """
+    crawled = extracted.select(F.col("url").alias("target")).distinct()
+    pairs = (
+        extracted.select("url", F.explode("outlinks").alias("target"))
+        .join(crawled, "target", "left_semi")
+    )
+    return (
+        pairs.select(
+            host_of(F.col("url")).alias("src_host"),
+            host_of(F.col("target")).alias("dst_host"),
+            "url",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("links"),
+            F.countDistinct("url").alias("src_pages"),
+        )
+    )
