@@ -1160,6 +1160,29 @@ def _q_link_reciprocity(spark, sf_dir):
     return reciprocity(edges_from_extracted(extract(pages)))
 
 
+def _q_host_rank(spark, sf_dir):
+    # the webby composite: synthesize pages -> extract -> host-level
+    # rollup -> WEIGHTED PageRank over (src_host, dst_host, links)
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.pagerank import pagerank
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import host_graph, synthesize_pages
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    hg = host_graph(extract(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("links").alias("weight"),
+    )
+    pr = pagerank(hg, tol=0.0, max_iter=5, weight_col="weight")
+    return pr.select(
+        F.col("v").alias("host"), F.round("pagerank", 6).alias("host_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1237,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_personalized_pagerank_5iter": _q_ppr,
         "graph_degree_assortativity": _q_assortativity,
         "web_link_reciprocity": _q_link_reciprocity,
+        "web_host_rank_5iter": _q_host_rank,
     }
 
 
@@ -1840,6 +1864,7 @@ FROM f"""
     sql["graph_anf_sketch_t3"] = O.ora_anf(d, rounds=3, k=4)
     sql["web_host_graph"] = O.ora_host_graph(d)
     sql["web_link_reciprocity"] = O.ora_link_reciprocity(d)
+    sql["web_host_rank_5iter"] = O.ora_host_rank(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

@@ -75,6 +75,7 @@ def pagerank(
     checkpoint_every: int = 1,
     block_size: int = 1,
     teleport: DataFrame | None = None,
+    weight_col: str | None = None,
 ):
     """Directed PageRank over DataFrame[src, dst]; returns
     DataFrame[v: long, pagerank: double] summing to 1.
@@ -91,6 +92,12 @@ def pagerank(
     instead of uniform 1/n.  Plan shape is unchanged — p rides in the
     cached ``static`` table the per-superstep left join already touches,
     so personalization costs zero extra shuffles per superstep.
+
+    ``weight_col``: optional edge-weight column for WEIGHTED PageRank —
+    each edge carries weight/Σ(out-weights of src) instead of
+    1/out_degree (the host-rank composite rolls the page graph up to
+    hosts and ranks them by link volume this way).  Only the ``links``
+    precompute changes; the superstep plan is identical.
 
     ``block_size`` chains that many supersteps lazily into ONE Spark
     action (the dangling mass is folded in as an in-plan one-row
@@ -120,10 +127,17 @@ def pagerank(
             .alias("p"),
         )
 
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    if weight_col is None:
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+        edge_w = F.lit(1.0) / F.col("out_degree")
+    else:
+        out_deg = edges.groupBy("src").agg(
+            F.sum(weight_col).alias("out_degree")
+        )
+        edge_w = F.col(weight_col) / F.col("out_degree")
     links = (
         edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+        .select("src", "dst", edge_w.alias("w"))
         .repartition("src")
         .persist()
     )

@@ -1154,3 +1154,35 @@ def ora_link_reciprocity(d: str, n_hubs: int = 16, seed: int = 7) -> str:
             ("reciprocity", "DOUBLE"),
         ],
     )
+
+
+def ora_host_rank(d: str, iters: int = 5) -> str:
+    """Weighted-PageRank mirror over the expected host edges (same
+    recursive-CTE pattern as the page-level pagerank oracle; weights =
+    host-pair link counts from host_rollup_rows)."""
+    rows = host_rollup_rows(host_graph_pages(d))
+    hedges = ",\n".join(
+        f"('{sh}', '{dh}', {c})" for sh, dh, c, _ in rows
+    )
+    it = """
+pr{k} AS (
+  SELECT verts.v, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.m, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT he.dst AS v, sum(pr{j}.r * (he.w / outw.d)) AS m
+    FROM hedges he JOIN pr{j} ON he.src = pr{j}.v
+                   JOIN outw ON he.src = outw.src
+    GROUP BY he.dst
+  ) s ON verts.v = s.v
+)"""
+    chain = ",".join(it.format(k=k, j=k - 1) for k in range(1, iters + 1))
+    return f"""
+WITH hedges(src, dst, w) AS (VALUES
+{hedges}
+),
+verts AS (SELECT DISTINCT v FROM (
+  SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+n AS (SELECT count(*) AS c FROM verts),
+outw AS (SELECT src, sum(w) AS d FROM hedges GROUP BY src),
+pr0 AS (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM verts),
+{chain}
+SELECT v AS host, round(r, 6) AS host_rank FROM pr{iters}"""

@@ -115,3 +115,43 @@ def test_reciprocity_counts(spark):
     # reciprocal: all but (2,3) -> 4
     assert (row["n_edges"], row["n_reciprocal"]) == (5, 4)
     assert row["reciprocity"] == pytest.approx(0.8, abs=1e-15)
+
+
+def test_weighted_pagerank_matches_dense_reference(spark):
+    from dachshund_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 5.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, weight double")
+    got = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(df, tol=0.0, max_iter=6, weight_col="weight").collect()
+    }
+    nodes = [1, 2, 3]
+    out = {1: 4.0, 2: 2.0, 3: 5.0}
+    r = {v: 1 / 3 for v in nodes}
+    for _ in range(6):
+        mass = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            mass[t] += r[s] * (w / out[s])
+        r = {v: 0.15 / 3 + 0.85 * mass[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
+    from dachshund_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    wdf = df.withColumn("weight", F.lit(1.0))
+    plain = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(df, tol=0.0, max_iter=4).collect()
+    }
+    weighted = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(wdf, tol=0.0, max_iter=4, weight_col="weight").collect()
+    }
+    for v in plain:
+        assert weighted[v] == pytest.approx(plain[v], abs=1e-15), v
