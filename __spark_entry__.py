@@ -1099,6 +1099,16 @@ def _q_anf_sketch(spark, sf_dir):
     return anf_sketches(copurchase_edges(spark, sf_dir), rounds=3, k=4)
 
 
+def _q_anf_nf(spark, sf_dir):
+    # neighborhood function N(t) + effective-diameter readout from the
+    # same sketches: smallest t with frac >= 0.9 is the estimate
+    from dachshund_spark.operators.anf import anf_neighborhood_function
+
+    return anf_neighborhood_function(
+        copurchase_edges(spark, sf_dir), rounds=3, k=4
+    )
+
+
 def _q_host_graph(spark, sf_dir):
     # synthesize Common-Crawl-style pages (sources.pages, BASELINE.json
     # input_hint schema), run the REAL extraction path (pandas-UDF html
@@ -1183,6 +1193,31 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_page_hits(spark, sf_dir):
+    # HITS hubs/authorities over the synthesized page-link digraph —
+    # the full synthesize -> extract -> edge-materialization path, then
+    # Kleinberg's two-vector iteration, ids joined back to urls
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.hits import hits
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+        url_dim,
+    )
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    hv = hits(edges_from_extracted(extract(pages)), max_iter=8)
+    return hv.join(url_dim(pages), "v").select(
+        "url",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1261,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_assortativity": _q_assortativity,
         "web_link_reciprocity": _q_link_reciprocity,
         "web_host_rank_5iter": _q_host_rank,
+        "web_page_hits_8iter": _q_page_hits,
+        "graph_anf_neighborhood_fn": _q_anf_nf,
     }
 
 
@@ -1865,6 +1902,8 @@ FROM f"""
     sql["web_host_graph"] = O.ora_host_graph(d)
     sql["web_link_reciprocity"] = O.ora_link_reciprocity(d)
     sql["web_host_rank_5iter"] = O.ora_host_rank(d)
+    sql["web_page_hits_8iter"] = O.ora_page_hits(d)
+    sql["graph_anf_neighborhood_fn"] = O.ora_anf_nf(d, rounds=3, k=4)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

@@ -1113,3 +1113,29 @@ def anf_estimate(regs):
             p += 1
         lows.append(p)
     return 2.0 ** (sum(lows) / len(regs)) / 0.77351
+
+
+def hits(edges, max_iter=8):
+    """Sequential HITS oracle (Kleinberg, JACM 1999; mirrors
+    operators/hits.py): directed (src, dst) pairs -> {v: (hub, auth)},
+    each vector L1-normalized every half-step, fixed iteration count.
+    Edge multiplicity counts as weight, exactly like the operator."""
+    edges = list(edges)
+    if not edges:
+        raise ValueError("hits: empty edge table")
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    h = {v: 1.0 / n for v in verts}
+    a = {v: 0.0 for v in verts}
+    for _ in range(max_iter):
+        a = {v: 0.0 for v in verts}
+        for s, t in edges:
+            a[t] += h[s]
+        z = sum(a.values())
+        a = {v: x / z for v, x in a.items()}
+        h = {v: 0.0 for v in verts}
+        for s, t in edges:
+            h[s] += a[t]
+        z = sum(h.values())
+        h = {v: x / z for v, x in h.items()}
+    return {v: (h[v], a[v]) for v in verts}

@@ -1186,3 +1186,53 @@ outw AS (SELECT src, sum(w) AS d FROM hedges GROUP BY src),
 pr0 AS (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM verts),
 {chain}
 SELECT v AS host, round(r, 6) AS host_rank FROM pr{iters}"""
+
+
+def ora_page_hits(d: str, iters: int = 8, n_sites: int = 53,
+                  n_hubs: int = 16, seed: int = 7) -> str:
+    """Sequential HITS oracle over the synthesized page-link digraph
+    (operators/hits.py): kernels.hits on the page_targets edge set, vertex
+    ids mapped back to urls with the same site/page url arithmetic the
+    Spark side synthesizes (pages.py:_url_for)."""
+    from .functions import kernels as K
+
+    n_pages = host_graph_pages(d)
+    edges = [
+        (i, t)
+        for i in range(n_pages)
+        for t in page_targets(i, n_pages, n_hubs, seed)
+    ]
+    hv = K.hits(edges, max_iter=iters)
+    rows = sorted(
+        (
+            f"https://site{v % n_sites}.test/page{v}",
+            spark_round(h, 6),
+            spark_round(a, 6),
+        )
+        for v, (h, a) in hv.items()
+    )
+    return values_sql(
+        rows,
+        [("url", "VARCHAR"), ("hub", "DOUBLE"), ("authority", "DOUBLE")],
+    )
+
+
+def ora_anf_nf(d: str, rounds: int = 3, k: int = 4) -> str:
+    """Sequential neighborhood-function oracle for
+    graph_anf_neighborhood_fn — same FM registers as ora_anf, summed with
+    the same FM correction per round, same driver-side 3-decimal rounding
+    before the frac ratio (operators/anf.py:anf_neighborhood_function)."""
+    from .functions import kernels as K
+
+    adj = _cp_adj(d)
+    totals = []
+    for t in range(rounds + 1):
+        st = K.anf_sketches(adj, t, k)
+        totals.append(
+            round(sum(K.anf_estimate(regs) for regs in st.values()), 3)
+        )
+    last = totals[-1]
+    return values_sql(
+        [(t, tot, round(tot / last, 6)) for t, tot in enumerate(totals)],
+        [("t", "INTEGER"), ("nf_total", "DOUBLE"), ("frac", "DOUBLE")],
+    )

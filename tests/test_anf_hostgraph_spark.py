@@ -119,3 +119,29 @@ def test_host_graph_counts_pages_once_per_pair(spark):
         ("a.test", "a.test"): (1, 1),
         ("b.test", "b.test"): (1, 1),
     }
+
+
+def test_anf_neighborhood_function_matches_kernel(spark):
+    from dachshund_spark.operators.anf import anf_neighborhood_function
+
+    nf = anf_neighborhood_function(_edges_df(spark, EDGES), rounds=3, k=4)
+    got = {r["t"]: (r["nf_total"], r["frac"]) for r in nf.collect()}
+    adj = K.build_undirected_adj(EDGES)
+    totals = [
+        round(
+            sum(
+                K.anf_estimate(regs)
+                for regs in K.anf_sketches(adj, t, 4).values()
+            ),
+            3,
+        )
+        for t in range(4)
+    ]
+    want = {
+        t: (tot, round(tot / totals[-1], 6)) for t, tot in enumerate(totals)
+    }
+    assert got == want
+    # N(t) is monotone non-decreasing and the last frac is exactly 1.0
+    ts = sorted(got)
+    assert all(got[a][0] <= got[b][0] for a, b in zip(ts, ts[1:]))
+    assert got[ts[-1]][1] == 1.0
