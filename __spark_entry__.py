@@ -747,6 +747,18 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_tfidf_top5(spark, sf_dir):
+    from dachshund_spark.functions.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def _q_top_bigrams(spark, sf_dir):
+    from dachshund_spark.functions.textops import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def _q_quality(spark, sf_dir):
     from dachshund_spark.functions.textops import quality_scores
 
@@ -1298,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank_5iter": _q_host_rank,
         "web_page_hits_8iter": _q_page_hits,
         "graph_anf_neighborhood_fn": _q_anf_nf,
+        "doc_tfidf_top_terms": _q_tfidf_top5,
+        "doc_top_bigrams": _q_top_bigrams,
     }
 
 
@@ -1566,6 +1580,49 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
            AS n_ws_tokens
 FROM documents"""
+    sql["doc_tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, ws[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+  WHERE ws[i] <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * (ln((1 + nd.n_docs) / (1.0 + dfq.df)) + 1), 6)
+           AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM s WHERE rank <= 5"""
+    sql["doc_top_bigrams"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, ws[i] AS term, i AS pos
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+  WHERE ws[i] <> ''
+),
+grams AS (
+  SELECT term || ' ' ||
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS ngram,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+           AS complete
+  FROM tok
+)
+SELECT ngram, count(*) AS n_occurrences FROM grams WHERE complete
+GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20"""
     sql["doc_quality_scores"] = """
 WITH base AS (
   SELECT doc_id, text,

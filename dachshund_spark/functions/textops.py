@@ -11,7 +11,7 @@ bit-identical across Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets (standalone-word regexes);
@@ -185,4 +185,86 @@ def winnow_fingerprints(
                 F.concat_ws("", F.sort_array(F.collect_set("wmin"))), "UTF-8"
             )
         ).alias("fingerprint_digest"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` terms per document: (doc_id, term, tf, df, tfidf, rank).
+
+    The per-doc term selection a pretraining pipeline uses for topic /
+    boilerplate profiling.  Ranking is by the EXACT integer key
+    (tf DESC, df ASC, term ASC) — the tf-idf ordering restated without
+    floats, so Spark and any SQL engine rank identically (a float-score
+    ordering would be hostage to last-ulp ln() differences between
+    libm implementations on near-ties).  The float ``tfidf`` column
+    (smoothed: tf * (ln((1+N)/(1+df)) + 1)) is display/score output,
+    rounded to 6 so the ≤1-ulp ln() drift cannot surface.
+
+    Plan shape: one explode + (doc_id, term) groupBy for tf, a term-level
+    groupBy for df — small (vocabulary-sized), broadcast back — one
+    one-row count for N, and a per-doc window over ≤ distinct-terms rows.
+    Everything is built-in SQL expressions inside codegen; no UDFs.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1),
+                6,
+            ).alias("tfidf"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide most frequent word ``n``-grams: (ngram, n_occurrences),
+    top ``k`` by (count DESC, ngram ASC) — exact integer/string ordering,
+    fully deterministic across engines.
+
+    The boilerplate / contamination detector of a training-data pipeline.
+    Tokens come from one posexplode; n-grams from ``lead`` windows over
+    (doc_id, pos) — no HOF lambdas (array-lambda transforms drop out of
+    whole-stage codegen; see doc_winnow_fingerprints' plan note), no
+    self-joins.  The per-doc window and the groupBy both hash-partition
+    on different keys, so the plan is two shuffles + the final top-k —
+    at 100 TB the groupBy's map-side partial aggregation bounds the
+    shuffle by the distinct-ngram count per partition, not the token
+    count.
+    """
+    if n < 2:
+        raise ValueError("top_ngrams: n must be >= 2")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [
+        F.lead("term", i).over(w) for i in range(1, n)
+    ]
+    grams = tok.select(
+        F.concat_ws(" ", *parts).alias("ngram"),
+        parts[-1].isNotNull().alias("complete"),
+    ).filter("complete")
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
     )

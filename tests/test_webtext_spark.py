@@ -726,3 +726,63 @@ def test_png_decode_corrupt_chunk_rejected():
     bad_crc[idat_at + 4] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         M.png_decode(bytes(bad_crc))
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from dachshund_spark.functions import textops as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = T.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 ranks first; banana (df=2) beats nothing else
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [(r["term"], r["tf"], r["df"]) for r in d1] == [
+        ("apple", 2, 2), ("banana", 1, 2),
+    ]
+    # doc 3: banana tf=3 first, then date (tf=1, df=1)
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert [(r["term"], r["tf"], r["df"]) for r in d3] == [
+        ("banana", 3, 2), ("date", 1, 1),
+    ]
+    # tfidf value: smoothed formula, N=3
+    want = round(3 * (math.log((1 + 3) / (1 + 2)) + 1), 6)
+    assert d3[0]["tfidf"] == pytest.approx(want, abs=1e-9)
+    # equal tf: the rarer term (smaller df, higher idf) ranks first
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert [(r["term"], r["df"]) for r in d2] == [("cherry", 1), ("apple", 2)]
+
+
+def test_top_ngrams(spark):
+    from dachshund_spark.functions import textops as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x"),
+            (3, "z"),          # too short for any bigram
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in T.top_ngrams(docs, n=2, k=3).collect()
+    ]
+    # bigrams: doc1 = [a b, b a, a b, b c], doc2 = [a b, b x]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+    # trigrams cross the same window; doc boundaries are respected
+    tri = {
+        r["ngram"]: r["n_occurrences"]
+        for r in T.top_ngrams(docs, n=3, k=10).collect()
+    }
+    assert tri == {"a b a": 1, "b a b": 1, "a b c": 1, "a b x": 1}
