@@ -747,6 +747,15 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_adamic_adar(spark, sf_dir):
+    # link prediction on the small copurchase subgraph (same fixture as
+    # the O(deg^2)-frontier exact operators): distance-2 non-edges with
+    # >= 2 common neighbors, Adamic-Adar scored
+    from dachshund_spark.operators.linkpred import adamic_adar
+
+    return adamic_adar(cp_small_edges(spark, sf_dir), min_common=2)
+
+
 def _q_tfidf_top5(spark, sf_dir):
     from dachshund_spark.functions.textops import tfidf_top_terms
 
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank_5iter": _q_host_rank,
         "web_page_hits_8iter": _q_page_hits,
         "graph_anf_neighborhood_fn": _q_anf_nf,
+        "graph_adamic_adar_link_pred": _q_adamic_adar,
         "doc_tfidf_top_terms": _q_tfidf_top5,
         "doc_top_bigrams": _q_top_bigrams,
     }
@@ -1961,6 +1971,7 @@ FROM f"""
     sql["web_host_rank_5iter"] = O.ora_host_rank(d)
     sql["web_page_hits_8iter"] = O.ora_page_hits(d)
     sql["graph_anf_neighborhood_fn"] = O.ora_anf_nf(d, rounds=3, k=4)
+    sql["graph_adamic_adar_link_pred"] = O.ora_adamic_adar(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

@@ -1139,3 +1139,28 @@ def hits(edges, max_iter=8):
         z = sum(h.values())
         h = {v: x / z for v, x in h.items()}
     return {v: (h[v], a[v]) for v in verts}
+
+
+def adamic_adar(adj, min_common=2, max_center_degree=None):
+    """Sequential link-prediction oracle (mirrors operators/linkpred.py):
+    {v: neighbors} -> {(u, v): (common_neighbors, aa_score)} over
+    non-adjacent u < v pairs, aa_score = sum of 1/ln(deg(center))."""
+    import math
+
+    acc: dict = {}
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or (max_center_degree is not None and d > max_center_degree):
+            continue
+        ns = sorted(nbrs)
+        iw = 1.0 / math.log(d)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                c, s = acc.get(key, (0, 0.0))
+                acc[key] = (c + 1, s + iw)
+    return {
+        (u, v): (c, round(s, 6))
+        for (u, v), (c, s) in acc.items()
+        if c >= min_common and v not in adj[u]
+    }

@@ -1236,3 +1236,21 @@ def ora_anf_nf(d: str, rounds: int = 3, k: int = 4) -> str:
         [(t, tot, round(tot / last, 6)) for t, tot in enumerate(totals)],
         [("t", "INTEGER"), ("nf_total", "DOUBLE"), ("frac", "DOUBLE")],
     )
+
+
+def ora_adamic_adar(d: str, min_common: int = 2) -> str:
+    """Sequential Adamic-Adar oracle over the small copurchase subgraph
+    (operators/linkpred.py): kernels.adamic_adar on the same adjacency."""
+    from .functions import kernels as K
+
+    aa = K.adamic_adar(_cp_small_adj(d), min_common=min_common)
+    rows = sorted((u, v, c, s) for (u, v), (c, s) in aa.items())
+    return values_sql(
+        rows,
+        [
+            ("u", "BIGINT"),
+            ("v", "BIGINT"),
+            ("common_neighbors", "BIGINT"),
+            ("aa_score", "DOUBLE"),
+        ],
+    )
