@@ -1214,6 +1214,36 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_host_trustrank(spark, sf_dir):
+    # TrustRank (Gyongyi et al., VLDB'04): personalized + weighted
+    # PageRank on the host graph, teleport restricted to the 16 hub
+    # hosts — the spam-demotion composite a web pipeline runs next to
+    # plain host-rank. Exercises weight_col and teleport TOGETHER.
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.pagerank import pagerank
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import host_graph, synthesize_pages
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    hg = host_graph(extract(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("links").alias("weight"),
+    )
+    seeds = spark.createDataFrame(
+        [(f"site{i}.test",) for i in range(16)], "v string"
+    )
+    pr = pagerank(
+        hg, tol=0.0, max_iter=5, weight_col="weight", teleport=seeds
+    )
+    return pr.select(
+        F.col("v").alias("host"), F.round("pagerank", 6).alias("trust_rank")
+    )
+
+
 def _q_page_hits(spark, sf_dir):
     # HITS hubs/authorities over the synthesized page-link digraph —
     # the full synthesize -> extract -> edge-materialization path, then
@@ -1318,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_reciprocity": _q_link_reciprocity,
         "web_host_rank_5iter": _q_host_rank,
         "web_page_hits_8iter": _q_page_hits,
+        "web_host_trustrank_5iter": _q_host_trustrank,
         "graph_anf_neighborhood_fn": _q_anf_nf,
         "graph_adamic_adar_link_pred": _q_adamic_adar,
         "doc_tfidf_top_terms": _q_tfidf_top5,
@@ -1970,6 +2001,7 @@ FROM f"""
     sql["web_link_reciprocity"] = O.ora_link_reciprocity(d)
     sql["web_host_rank_5iter"] = O.ora_host_rank(d)
     sql["web_page_hits_8iter"] = O.ora_page_hits(d)
+    sql["web_host_trustrank_5iter"] = O.ora_host_trustrank(d)
     sql["graph_anf_neighborhood_fn"] = O.ora_anf_nf(d, rounds=3, k=4)
     sql["graph_adamic_adar_link_pred"] = O.ora_adamic_adar(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)

@@ -1254,3 +1254,43 @@ def ora_adamic_adar(d: str, min_common: int = 2) -> str:
             ("aa_score", "DOUBLE"),
         ],
     )
+
+
+def ora_host_trustrank(d: str, iters: int = 5, n_seeds: int = 16) -> str:
+    """TrustRank mirror of ora_host_rank: same weighted host edges, but
+    the start vector, the 0.15 restart, and (structurally absent here —
+    every host has out-links) the dangling mass all flow to the hub-host
+    seed vector instead of uniform 1/n, matching pagerank(teleport=...)
+    semantics (operators/pagerank.py:87-94)."""
+    rows = host_rollup_rows(host_graph_pages(d))
+    hedges = ",\n".join(
+        f"('{sh}', '{dh}', {c})" for sh, dh, c, _ in rows
+    )
+    seeds = ",".join(f"('site{i}.test')" for i in range(n_seeds))
+    it = """
+pr{k} AS (
+  SELECT verts.v,
+         0.15 * coalesce(sd.p, 0) + 0.85 * coalesce(s.m, 0) AS r
+  FROM verts
+  LEFT JOIN seedp sd ON verts.v = sd.v
+  LEFT JOIN (
+    SELECT he.dst AS v, sum(pr{j}.r * (he.w / outw.d)) AS m
+    FROM hedges he JOIN pr{j} ON he.src = pr{j}.v
+                   JOIN outw ON he.src = outw.src
+    GROUP BY he.dst
+  ) s ON verts.v = s.v
+)"""
+    chain = ",".join(it.format(k=k, j=k - 1) for k in range(1, iters + 1))
+    return f"""
+WITH hedges(src, dst, w) AS (VALUES
+{hedges}
+),
+seeds(v) AS (VALUES {seeds}),
+seedp AS (SELECT v, 1.0 / {n_seeds} AS p FROM seeds),
+verts AS (SELECT DISTINCT v FROM (
+  SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+outw AS (SELECT src, sum(w) AS d FROM hedges GROUP BY src),
+pr0 AS (SELECT verts.v, coalesce(sd.p, 0) AS r
+        FROM verts LEFT JOIN seedp sd ON verts.v = sd.v),
+{chain}
+SELECT v AS host, round(r, 6) AS trust_rank FROM pr{iters}"""

@@ -155,3 +155,31 @@ def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
     }
     for v in plain:
         assert weighted[v] == pytest.approx(plain[v], abs=1e-15), v
+
+
+def test_weighted_personalized_pagerank_dense_reference(spark):
+    # weight_col and teleport COMPOSED (the trustrank path): dense
+    # reference with restart + dangling mass on the seed vector and
+    # weighted out-mass splitting
+    from dachshund_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 4.0), (1, 3, 2.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, weight double")
+    seeds_df = spark.createDataFrame([(1,)], "v bigint")
+    got = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(
+            df, tol=0.0, max_iter=5, weight_col="weight", teleport=seeds_df
+        ).collect()
+    }
+    nodes = [1, 2, 3]
+    out = {1: 4.0, 2: 1.0, 3: 4.0}
+    p = {1: 1.0, 2: 0.0, 3: 0.0}
+    r = dict(p)
+    for _ in range(5):
+        mass = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            mass[t] += r[s] * (w / out[s])
+        r = {v: 0.15 * p[v] + 0.85 * mass[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
