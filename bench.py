@@ -152,6 +152,15 @@ def run_bench(
     lp = label_propagation(edges, max_iter=5)
     lp.count()
     queries["label_propagation_5iter"] = round(time.time() - t0, 3)
+
+    # --- HITS on the same page digraph: the two-vector link-analysis
+    # sibling of pagerank (2 shuffles + 2 cut jobs per iteration; see
+    # operators/hits.py for the ReuseExchange normalizer note)
+    from dachshund_spark.operators.hits import hits
+
+    t0 = time.time()
+    hits(edges, max_iter=8).count()
+    queries["hits_8iter"] = round(time.time() - t0, 3)
     edges.unpersist()
 
     # --- co-purchase analytics at the SF dir ---
