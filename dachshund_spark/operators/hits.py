@@ -8,20 +8,26 @@ counterpart (its centrality family, eigenvector_centrality.rs:21-42,
 covers the undirected single-vector case only); this is the directed
 two-vector sibling, built for the web link graph the engine targets.
 
-Spark design (one lazy plan per half-step, two shuffles per iteration):
+Spark design (the eigenvector_centrality normalization discipline,
+centrality.py:38-99 — carry the UN-normalized vector, hold the L1 scale
+on the driver, apply it lazily as a ``lit`` inside the next half-step's
+message expression):
 
-- State is one DataFrame (v, hub, auth) over the static vertex table
-  (union of srcs and dsts), so vertices with no in-links keep authority
-  0 and leaves keep hub contributions flowing — exactly the dense
-  semantics of the sequential kernel oracle (functions/kernels.py:hits).
-- Each half-step is edges ⋈ state → groupBy → sum (Catalyst partial
-  aggregation map-side combines hub mass per shuffle partition, so a
-  10^7-in-link authority costs one partial row per partition, not 10^7
-  shuffled messages) → left join back onto the vertex table → divide by
-  an in-plan one-row L1-sum (broadcast crossJoin; no driver collect).
-- Every iteration ends in an eager ``cut_lineage`` leaf and releases its
-  predecessor: plan depth and checkpoint blocks both stay O(1) across
-  iterations (the repo-wide iterative-loop discipline).
+- Each half-step is one edge ⋈ state join + one map-side-combining sum
+  aggregate (a 10^7-in-link authority costs one partial row per shuffle
+  partition, not 10^7 shuffled messages), materialized as an eager
+  ``cut_lineage`` leaf; the L1 total then comes from a leaf-scan
+  aggregate — O(|V|) rows off block storage, NO recomputed shuffle (the
+  naive in-plan normalizer would reference the aggregate twice and AQE
+  does not reliably reuse the exchange across the two branches).
+- The edge table is persisted twice, pre-partitioned by src and by dst
+  (pagerank's cached-links discipline), so neither half-step re-exchanges
+  the edges — only the O(|V|) message state shuffles per half-step.
+- Dividing each message by ``lit(scale)`` before the sum reproduces the
+  sequential kernel's divide-then-sum order exactly (functions/
+  kernels.py:hits), so results are float-comparable at 1e-12.
+- Superseded leaves are released every half-step: plan depth and
+  checkpoint blocks stay O(1) across iterations.
 
 Edge multiplicity counts as weight (a page linking twice contributes
 twice); callers wanting set semantics should ``distinct()`` first.
@@ -40,60 +46,53 @@ def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
     (each column sums to 1) after ``max_iter`` full iterations."""
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    e = edges.select("src", "dst").persist()
+    e_by_src = edges.select("src", "dst").repartition("src").persist()
+    e_by_dst = e_by_src.repartition("dst").persist()
     verts = cut_lineage(
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
+        e_by_src.select(F.col("src").alias("v"))
+        .union(e_by_src.select(F.col("dst").alias("v")))
         .distinct()
     )
-    n = verts.count()  # also materializes e
+    n = verts.count()  # also materializes the edge caches
     if n == 0:
         raise ValueError("hits: empty edge table")
-    state = cut_lineage(
-        verts.select(
+
+    def _push(ev: DataFrame, st: DataFrame, scale: float,
+              from_key: str, to_key: str) -> tuple[DataFrame, float]:
+        """One half-step: sum st.s/scale over edges onto ``to_key``;
+        returns the new un-normalized leaf and its L1 total."""
+        msgs = ev.join(
+            st.select(F.col("v").alias(from_key), "s"), from_key
+        ).select(F.col(to_key).alias("v"), (F.col("s") / F.lit(scale)).alias("m"))
+        out = cut_lineage(msgs.groupBy("v").agg(F.sum("m").alias("s")))
+        total = out.agg(F.sum("s").alias("t")).collect()[0]["t"]
+        return out, float(total)
+
+    # un-normalized hub vector starts at 1 everywhere; its L1 scale is n,
+    # so hub_0 / hsum == the kernel's uniform 1/n start
+    hub = cut_lineage(verts.select("v", F.lit(1.0).alias("s")))
+    hsum = float(n)
+    auth, asum = None, 1.0
+    for _ in range(max_iter):
+        new_auth, asum = _push(e_by_src, hub, hsum, "src", "dst")
+        release(auth)
+        auth = new_auth
+        new_hub, hsum = _push(e_by_dst, auth, asum, "dst", "src")
+        release(hub)
+        hub = new_hub
+    out = (
+        verts.join(hub.select("v", F.col("s").alias("hs")), "v", "left")
+        .join(auth.select("v", F.col("s").alias("as_")), "v", "left")
+        .select(
             "v",
-            (F.lit(1.0) / F.lit(float(n))).alias("hub"),
-            F.lit(0.0).alias("auth"),
+            (F.coalesce("hs", F.lit(0.0)) / F.lit(hsum)).alias("hub"),
+            (F.coalesce("as_", F.lit(0.0)) / F.lit(asum)).alias("authority"),
         )
     )
-
-    def _half_step(st: DataFrame, from_col: str, join_key: str,
-                   group_key: str, out_col: str) -> DataFrame:
-        """One half-step: push ``from_col`` mass across edges onto
-        ``group_key``, L1-normalize in-plan, left-join onto verts.
-
-        ``raw`` feeds both the join and the one-row L1 total; its
-        aggregate exchange is identical in both branches, so Catalyst's
-        ReuseExchange computes the shuffle once per action."""
-        raw = (
-            e.join(st.select(F.col("v").alias(join_key), from_col), join_key)
-            .groupBy(F.col(group_key).alias("v"))
-            .agg(F.sum(from_col).alias("raw"))
-        )
-        total = raw.agg(F.sum("raw").alias("l1"))
-        return (
-            verts.join(raw, "v", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "v",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("l1"))
-                .alias(out_col),
-            )
-        )
-
-    for _ in range(max_iter):
-        # auth is consumed twice (the hub half-step and the final join),
-        # so it becomes a cut leaf first — two eager cuts per iteration,
-        # plan depth and checkpoint blocks O(1) across iterations
-        auth = cut_lineage(_half_step(state, "hub", "src", "dst", "auth"))
-        new_state = cut_lineage(
-            _half_step(auth, "auth", "dst", "src", "hub")
-            .join(auth, "v")
-            .select("v", "hub", "auth")
-        )
-        release(state)
-        release(auth)
-        state = new_state
-    e.unpersist()
+    out = cut_lineage(out)
     release(verts)
-    return state.select("v", "hub", F.col("auth").alias("authority"))
+    release(hub)
+    release(auth)
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return out
