@@ -39,7 +39,7 @@ def main(argv=None, _spark=None):
     get_spark/stop lifecycle the CLI owns)."""
     p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
     p.add_argument("job", choices=[
-        "extract", "pagerank", "cc", "lp", "triangles", "coreness",
+        "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
         "ktruss", "scc", "featurize", "cliques", "sessions",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
@@ -114,6 +114,15 @@ def main(argv=None, _spark=None):
             "converged": res.converged,
             "metrics": [m.__dict__ for m in res.metrics],
         }))
+    elif args.job == "hits":
+        from .operators.hits import hits
+
+        edges = read_table(spark, args.input)
+        # --max-iter defaults to 100, far past HITS' practical fixpoint;
+        # the operator runs the fixed count (no tolerance stop — the two
+        # L1-normalized vectors converge geometrically)
+        out = hits(edges, max_iter=args.max_iter)
+        write_table(out, args.output)
     elif args.job == "cc":
         from .operators.components import connected_components
 

@@ -227,3 +227,31 @@ def test_io_shim_iceberg_dispatch_paths(spark, tmp_path):
     p = str(tmp_path / "roundtrip")
     write_table(df, p)
     assert read_table(spark, p).count() == 3
+
+
+def test_jobs_cli_hits(spark, tmp_path):
+    import pytest
+
+    from dachshund_spark import jobs
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+    )
+    from dachshund_spark.functions.extraction import extract
+
+    pages = synthesize_pages(spark, 300, n_sites=11, n_hubs=4, seed=3)
+    edges_path = str(tmp_path / "edges")
+    out_path = str(tmp_path / "hits")
+    edges_from_extracted(extract(pages)).write.parquet(edges_path)
+    jobs.main(
+        [
+            "hits", "--input", edges_path, "--output", out_path,
+            "--max-iter", "4",
+        ],
+        _spark=spark,
+    )
+    out = spark.read.parquet(out_path)
+    assert sorted(out.columns) == ["authority", "hub", "v"]
+    sums = out.groupBy().sum("hub", "authority").collect()[0]
+    assert sums[0] == pytest.approx(1.0, abs=1e-9)
+    assert sums[1] == pytest.approx(1.0, abs=1e-9)
