@@ -1269,6 +1269,82 @@ def _q_page_hits(spark, sf_dir):
     )
 
 
+def _q_harmonic_sampled(spark, sf_dir):
+    # harmonic (closeness-family) centrality from 100 md5-sampled sources:
+    # all sources run simultaneously as (source, v) BFS supersteps, the
+    # 1/d fold is one fixed-order codegen'd expression over a per-depth
+    # pivot — float-exact vs the sequential kernel
+    from dachshund_spark.operators.centrality import harmonic_centrality
+
+    return harmonic_centrality(
+        copurchase_edges(spark, sf_dir), max_sources=100, seed=0
+    )
+
+
+def _q_anf_eff_diameter(spark, sf_dir):
+    # 0.9-effective diameter from the ANF sketches (the Broder/Palmer
+    # web-graph headline number): smallest t with N(t) >= 0.9 N(rounds),
+    # linearly interpolated; the interpolation code path is SHARED with
+    # the oracle (operators.anf.effective_diameter_from_totals)
+    from dachshund_spark.operators.anf import anf_effective_diameter
+
+    return anf_effective_diameter(
+        copurchase_edges(spark, sf_dir), q=0.9, rounds=3, k=4
+    )
+
+
+def _q_web_bowtie(spark, sf_dir):
+    # Broder bow-tie decomposition of the page-link digraph: synthesize ->
+    # extract -> edges, banded so the outer quarters are internal DAGs
+    # (ascending ids only) while the middle half keeps its random
+    # structure — CORE/IN/OUT/TENDRIL_TUBE/DISCONNECTED all realizable.
+    # Composes three gated primitives: true-SCC peeling, hash-min WCC,
+    # and frontier BFS reach sets (operators/bowtie.py)
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.bowtie import bowtie_decomposition
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+    )
+
+    from dachshund_spark.sources.pages import url_dim
+
+    n = host_graph_pages(sf_dir)
+    pages = synthesize_pages(
+        spark, n_pages=n, n_sites=53, n_hubs=16, seed=7
+    )
+    e = edges_from_extracted(extract(pages))
+    # the edge table carries xxhash64 url ids; band/classify on the PAGE
+    # NUMBER (parsed back out of the url), so the output ids match the
+    # sequential oracle's page indices.  The dim join is the standard
+    # id<->key lookup shape — broadcast-sized per crawl partition
+    dim = url_dim(pages).select(
+        "v",
+        F.regexp_extract("url", r"page(\d+)$", 1).cast("long").alias("page"),
+    )
+    e = (
+        e.join(dim.select(F.col("v").alias("src"), F.col("page").alias("ps")), "src")
+        .join(dim.select(F.col("v").alias("dst"), F.col("page").alias("pd")), "dst")
+        .select(F.col("ps").alias("src"), F.col("pd").alias("dst"))
+    )
+    q1, q3 = n // 4, 3 * n // 4
+
+    def band(c):
+        return F.when(c < q1, 0).when(c < q3, 1).otherwise(2)
+
+    bu, bv = band(F.col("src")), band(F.col("dst"))
+    banded = e.filter(
+        (bu <= bv)
+        & (
+            ((bu == 1) & (bv == 1))
+            | (F.col("src") < F.col("dst"))
+            | (bu != bv)
+        )
+    )
+    return bowtie_decomposition(banded)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1353,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar_link_pred": _q_adamic_adar,
         "doc_tfidf_top_terms": _q_tfidf_top5,
         "doc_top_bigrams": _q_top_bigrams,
+        "graph_harmonic_centrality_sampled": _q_harmonic_sampled,
+        "graph_anf_effective_diameter": _q_anf_eff_diameter,
+        "web_bowtie_structure": _q_web_bowtie,
     }
 
 
@@ -2004,6 +2083,11 @@ FROM f"""
     sql["web_host_trustrank_5iter"] = O.ora_host_trustrank(d)
     sql["graph_anf_neighborhood_fn"] = O.ora_anf_nf(d, rounds=3, k=4)
     sql["graph_adamic_adar_link_pred"] = O.ora_adamic_adar(d)
+    sql["graph_harmonic_centrality_sampled"] = O.ora_harmonic_sampled(d)
+    sql["graph_anf_effective_diameter"] = O.ora_anf_effective_diameter(
+        d, q=0.9, rounds=3, k=4
+    )
+    sql["web_bowtie_structure"] = O.ora_web_bowtie(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

@@ -1164,3 +1164,85 @@ def adamic_adar(adj, min_common=2, max_center_degree=None):
         for (u, v), (c, s) in acc.items()
         if c >= min_common and v not in adj[u]
     }
+
+
+def harmonic_centrality(adj, sources):
+    """Sequential harmonic-centrality oracle (mirrors
+    operators/centrality.py:harmonic_centrality): {v: neighbors} +
+    source list -> {v: H(v)} with H(v) = sum over sources s of
+    1/d(s, v), unreachable pairs contributing 0, self at distance 0
+    excluded.  The accumulation walks distances in INCREASING order,
+    left-associated, mirroring the distributed side's fixed-order
+    pivot expression so the float results are bit-identical (adding a
+    zero term is an exact IEEE identity, so skipping absent distances
+    is equivalent)."""
+    counts: dict = {}  # v -> {dist: n_sources}
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                by = counts.setdefault(v, {})
+                by[dv] = by.get(dv, 0) + 1
+    out = {}
+    for v in adj:
+        acc = 0.0
+        for dv in sorted(counts.get(v, ())):
+            acc = acc + counts[v][dv] / float(dv)
+        out[v] = acc
+    return out
+
+
+def bowtie(edges):
+    """Sequential bow-tie oracle (mirrors operators/bowtie.py): directed
+    edge list -> {v: category} with category in CORE / IN / OUT /
+    TENDRIL_TUBE / DISCONNECTED.  Giant SCC picked by
+    (size DESC, min-member label ASC) — the same deterministic rule the
+    distributed side applies to its canonical min-id component labels."""
+    simple = {(u, v) for u, v in edges if u != v}
+    out_adj, in_adj = build_directed_adj(sorted(simple))
+    comps = tarjan_scc(out_adj)
+    giant = sorted(comps, key=lambda c: (-len(c), min(c)))[0]
+    core = set(giant)
+
+    def reach(adj, seeds):
+        seen = set(seeds)
+        frontier = list(seeds)
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        return seen - seeds
+
+    out_reach = reach(out_adj, core)
+    in_reach = reach(in_adj, core)
+    und = {u: out_adj[u] | in_adj[u] for u in out_adj}
+    core_wcc = reach(und, {min(core)}) | {min(core)}
+
+    cats = {}
+    for v in out_adj:
+        if v in core:
+            cats[v] = "CORE"
+        elif v in in_reach:
+            cats[v] = "IN"
+        elif v in out_reach:
+            cats[v] = "OUT"
+        elif v in core_wcc:
+            cats[v] = "TENDRIL_TUBE"
+        else:
+            cats[v] = "DISCONNECTED"
+    return cats

@@ -140,9 +140,22 @@ def anf_neighborhood_function(
     is ~1e-9 at 1e6 vertices, so the rounded totals (and hence ``frac``,
     computed from them) are hash-stable.
     """
+    spark = edges.sparkSession
+    totals = _nf_totals(edges, rounds, k)
+    last = totals[-1]
+    return spark.createDataFrame(
+        [(t, tot, round(tot / last, 6)) for t, tot in enumerate(totals)],
+        "t int, nf_total double, frac double",
+    )
+
+
+def _nf_totals(edges: DataFrame, rounds: int, k: int) -> list[float]:
+    """The N(t) estimate per round, t = 0..rounds — the shared superstep
+    loop behind ``anf_neighborhood_function`` and
+    ``anf_effective_diameter`` (one one-row action per round; each total
+    rounded to 3 decimals driver-side, see the caller docstrings)."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    spark = edges.sparkSession
     sym = symmetrized(edges).repartition("src").persist()
     sym.count()
     regs = [f"r{i}" for i in range(k)]
@@ -170,8 +183,50 @@ def anf_neighborhood_function(
         totals.append(_total(state))
     sym.unpersist()
     release(state)
-    last = totals[-1]
+    return totals
+
+
+def effective_diameter_from_totals(
+    totals: list[float], q: float
+) -> tuple[int, float]:
+    """(t_hit, interpolated effective diameter) from the rounded N(t)
+    series — the standard ANF readout (Palmer KDD'02 §4.4): the smallest
+    t with N(t) >= q·N(rounds), linearly interpolated between t-1 and t.
+    Pure driver-side arithmetic over the (already-rounded) totals, so the
+    sequential oracle runs the IDENTICAL code path on identical inputs —
+    shared by operator and oracle precisely so the two cannot diverge.
+    If the series never reaches the target inside ``rounds`` supersteps
+    (impossible for q <= 1 since frac(rounds) == 1 by construction), the
+    last round is reported."""
+    target = q * totals[-1]
+    t_hit = len(totals) - 1
+    for t, tot in enumerate(totals):
+        if tot >= target:
+            t_hit = t
+            break
+    if t_hit == 0:
+        eff = 0.0
+    else:
+        lo, hi = totals[t_hit - 1], totals[t_hit]
+        eff = (t_hit - 1) + (target - lo) / (hi - lo)
+    return t_hit, round(eff, 6)
+
+
+def anf_effective_diameter(
+    edges: DataFrame, q: float = 0.9, rounds: int = 3, k: int = 8
+) -> DataFrame:
+    """(src, dst) -> one row (q, t_hit, eff_diameter): the q-effective
+    diameter of the graph estimated from the ANF sketches — the smallest
+    distance within which a q-fraction of all reachable pairs sits
+    (q = 0.9 is the standard web-graph headline number, Palmer KDD'02;
+    Broder et al., "Graph structure in the web", WWW'00 report ~6.8 for
+    the 1999 web).  Runs the ``_nf_totals`` superstep loop (edge join +
+    map-side-combining ``bit_or`` per round, O(|E|) fixed-width shuffle
+    rows) and interpolates driver-side."""
+    spark = edges.sparkSession
+    totals = _nf_totals(edges, rounds, k)
+    t_hit, eff = effective_diameter_from_totals(totals, q)
     return spark.createDataFrame(
-        [(t, tot, round(tot / last, 6)) for t, tot in enumerate(totals)],
-        "t int, nf_total double, frac double",
+        [(float(q), t_hit, eff)],
+        "q double, t_hit int, eff_diameter double",
     )

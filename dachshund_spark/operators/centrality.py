@@ -440,3 +440,106 @@ def betweenness_superstep(
         "v", F.coalesce("partial", F.lit(0.0)).alias("betweenness")
     )
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    max_sources: int | None = 100,
+    seed: int = 0,
+    max_depth: int = 200,
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_s 1/d(s, v) over the (sampled)
+    source set, distances on the symmetrized graph, unreachable pairs
+    contributing 0 (Boldi & Vigna, "Axioms for centrality", 2014 — the
+    closeness variant that is well-defined on disconnected graphs).
+
+    The reference engine has no closeness-family transformer (its
+    centrality files are eigenvector_centrality.rs and betweenness.rs);
+    this is a scale-path addition reusing the betweenness_superstep
+    forward machinery: all sources run simultaneously as (source, v)
+    BFS frontiers, one edge join + anti-join per depth, each level an
+    eager cut leaf.  Source sampling is the shared deterministic
+    md5(seed|v) rank (``_select_sources``), so runs are reproducible
+    across engines.
+
+    Distributed shape: the per-depth state is the NEW frontier only
+    (same O(|sources| x |V|) bound and release discipline as the
+    betweenness forward pass); the readout folds each level to per-vertex
+    counts (V rows per depth) and pivots on depth — width = the BFS
+    eccentricity bound, tens on small-world web graphs — so the final
+    1/d sum is ONE fixed-order codegen'd expression per vertex:
+    deterministic float addition order (increasing d, left-associated),
+    hash-comparable to the sequential kernel
+    (functions.kernels.harmonic_centrality).
+
+    Returns DataFrame[v, harmonic] (harmonic rounded to 6 decimals).
+    """
+    from ..plans.superstep import release
+
+    spark = edges.sparkSession
+    sym = symmetrized(edges).repartition("src").persist()
+    sym.count()
+    verts = vertices(sym)
+    src_df = _select_sources(spark, verts, sources, max_sources, seed)
+
+    levels = [
+        cut_lineage(src_df.select("source", F.col("source").alias("v")))
+    ]
+    depth = 0
+    while depth < max_depth:
+        frontier = levels[depth]
+        msgs = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("source", F.col("dst").alias("v"))
+            .distinct()
+        )
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.union(lv)
+        new = cut_lineage(msgs.join(visited, ["source", "v"], "left_anti"))
+        if new.count() == 0:
+            release(new)
+            break
+        levels.append(new)
+        depth += 1
+    else:
+        raise RuntimeError(
+            f"harmonic_centrality: BFS did not exhaust in {max_depth} "
+            "levels; raise max_depth"
+        )
+
+    if depth == 0:
+        for lv in levels:
+            release(lv)
+        sym.unpersist()
+        return verts.select("v", F.lit(0.0).alias("harmonic"))
+
+    # per-depth reach counts: level d holds (source, v) pairs at exact
+    # distance d, so its per-v row count is the number of sampled sources
+    # at that distance — V rows per depth, unioned over cut leaves
+    cnts = None
+    for d in range(1, depth + 1):
+        c = levels[d].groupBy("v").agg(F.count(F.lit(1)).alias("c")).select(
+            "v", F.lit(d).alias("dist"), "c"
+        )
+        cnts = c if cnts is None else cnts.union(c)
+    wide = cnts.groupBy("v").pivot("dist", list(range(1, depth + 1))).agg(
+        F.sum("c")
+    )
+    # fixed-order 1/d fold: increasing d, left-associated — float-exact
+    # mirror of the kernel's accumulation loop
+    terms = " + ".join(
+        f"coalesce(cast(`{d}` as double), 0.0d) / {float(d)}d"
+        for d in range(1, depth + 1)
+    )
+    out = cut_lineage(
+        verts.join(wide, "v", "left").selectExpr(
+            "v", f"round({terms}, 6) as harmonic"
+        )
+    )
+    # out is an eager cut — the level leaves it read can be freed now
+    for lv in levels:
+        release(lv)
+    sym.unpersist()
+    return out

@@ -1294,3 +1294,76 @@ pr0 AS (SELECT verts.v, coalesce(sd.p, 0) AS r
         FROM verts LEFT JOIN seedp sd ON verts.v = sd.v),
 {chain}
 SELECT v AS host, round(r, 6) AS trust_rank FROM pr{iters}"""
+
+
+def ora_harmonic_sampled(d: str, max_sources: int = 100, seed: int = 0) -> str:
+    """Sequential harmonic-centrality oracle for
+    graph_harmonic_centrality_sampled: the shared deterministic
+    md5(seed|v) source sample (centrality.sample_sources_py convention),
+    BFS per source, fixed-order 1/d accumulation bit-identical to the
+    distributed pivot expression (operators/centrality.py)."""
+    from .functions import kernels as K
+
+    adj = _cp_adj(d)
+    ranked = sorted(
+        (hashlib.md5(f"{seed}|{v}".encode()).hexdigest(), v) for v in adj
+    )
+    sources = [v for _, v in ranked[:max_sources]]
+    h = K.harmonic_centrality(adj, sources)
+    return values_sql(
+        sorted((v, spark_round(x, 6)) for v, x in h.items()),
+        [("v", "BIGINT"), ("harmonic", "DOUBLE")],
+    )
+
+
+def ora_anf_effective_diameter(
+    d: str, q: float = 0.9, rounds: int = 3, k: int = 4
+) -> str:
+    """Effective-diameter oracle for graph_anf_effective_diameter: the
+    same FM register totals as ora_anf_nf, fed through the SAME
+    interpolation code path the operator runs
+    (operators.anf.effective_diameter_from_totals — pure driver-side
+    python on both sides, so divergence is structurally impossible)."""
+    from .functions import kernels as K
+    from .operators.anf import effective_diameter_from_totals
+
+    adj = _cp_adj(d)
+    totals = []
+    for t in range(rounds + 1):
+        st = K.anf_sketches(adj, t, k)
+        totals.append(
+            round(sum(K.anf_estimate(regs) for regs in st.values()), 3)
+        )
+    t_hit, eff = effective_diameter_from_totals(totals, q)
+    return values_sql(
+        [(float(q), t_hit, eff)],
+        [("q", "DOUBLE"), ("t_hit", "INTEGER"), ("eff_diameter", "DOUBLE")],
+    )
+
+
+def ora_web_bowtie(d: str, n_sites: int = 53, n_hubs: int = 16,
+                   seed: int = 7) -> str:
+    """Bow-tie oracle for web_bowtie_structure: the synthesized page
+    digraph restricted to band-ascending edges (outer bands are internal
+    DAGs, the middle band keeps its random structure — the rule the Spark
+    side applies in SQL over the EXTRACTED edges), classified by
+    kernels.bowtie (true-SCC Tarjan + BFS reach sets)."""
+    from .functions import kernels as K
+
+    n = host_graph_pages(d)
+    q1, q3 = n // 4, 3 * n // 4
+
+    def band(v: int) -> int:
+        return 0 if v < q1 else (1 if v < q3 else 2)
+
+    kept = []
+    for i in range(n):
+        bu = band(i)
+        for t in page_targets(i, n, n_hubs, seed):
+            bv = band(t)
+            if bu <= bv and ((bu == 1 and bv == 1) or i < t or bu != bv):
+                kept.append((i, t))
+    cats = K.bowtie(kept)
+    return values_sql(
+        sorted(cats.items()), [("v", "BIGINT"), ("category", "VARCHAR")]
+    )
