@@ -1293,6 +1293,18 @@ def _q_anf_eff_diameter(spark, sf_dir):
     )
 
 
+def _q_anf_harmonic(spark, sf_dir):
+    # HyperBall-style harmonic centrality for EVERY vertex at once from
+    # the FM sketches — the 100 TB companion to the exact sampled path
+    # (graph_harmonic_centrality_sampled): rounds supersteps total
+    # instead of one BFS per source
+    from dachshund_spark.operators.anf import anf_harmonic_centrality
+
+    return anf_harmonic_centrality(
+        copurchase_edges(spark, sf_dir), rounds=3, k=4
+    )
+
+
 def _q_web_bowtie(spark, sf_dir):
     # Broder bow-tie decomposition of the page-link digraph: synthesize ->
     # extract -> edges, banded so the outer quarters are internal DAGs
@@ -1431,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": _q_top_bigrams,
         "graph_harmonic_centrality_sampled": _q_harmonic_sampled,
         "graph_anf_effective_diameter": _q_anf_eff_diameter,
+        "graph_anf_harmonic_centrality": _q_anf_harmonic,
         "web_bowtie_structure": _q_web_bowtie,
     }
 
@@ -2087,6 +2100,7 @@ FROM f"""
     sql["graph_anf_effective_diameter"] = O.ora_anf_effective_diameter(
         d, q=0.9, rounds=3, k=4
     )
+    sql["graph_anf_harmonic_centrality"] = O.ora_anf_harmonic(d, rounds=3, k=4)
     sql["web_bowtie_structure"] = O.ora_web_bowtie(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)

@@ -1246,3 +1246,22 @@ def bowtie(edges):
         else:
             cats[v] = "DISCONNECTED"
     return cats
+
+
+def anf_harmonic(adj, rounds, k):
+    """Sequential HyperBall-harmonic oracle (mirrors
+    operators/anf.py:anf_harmonic_centrality): per-vertex FM ball
+    estimates per round, then H(v) = sum_t (est_t - est_{t-1})/t with
+    increasing-t left-associated accumulation (bit-identical to the
+    distributed fixed-order expression)."""
+    ests = []
+    for t in range(rounds + 1):
+        st = anf_sketches(adj, t, k)
+        ests.append({v: anf_estimate(regs) for v, regs in st.items()})
+    out = {}
+    for v in adj:
+        acc = 0.0
+        for t in range(1, rounds + 1):
+            acc = acc + (ests[t][v] - ests[t - 1][v]) / float(t)
+        out[v] = acc
+    return out

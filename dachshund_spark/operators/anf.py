@@ -230,3 +230,71 @@ def anf_effective_diameter(
         [(float(q), t_hit, eff)],
         "q double, t_hit int, eff_diameter double",
     )
+
+
+def anf_harmonic_centrality(
+    edges: DataFrame, rounds: int = 3, k: int = 8
+) -> DataFrame:
+    """(src, dst) -> (v, harmonic_est): HyperBall-style harmonic
+    centrality for EVERY vertex simultaneously (Boldi & Vigna,
+    "In-core computation of geometric centralities with HyperBall",
+    2013): H(v) = Σ_t (|B(v,t)| - |B(v,t-1)|) / t over t = 1..rounds,
+    ball sizes estimated from the FM sketches.
+
+    This is the scale companion to ``harmonic_centrality`` (exact,
+    sampled sources): the exact path costs one BFS frontier per source,
+    the sketch path serves ALL vertices in ``rounds`` supersteps total —
+    at 10^12 edges the only viable per-vertex closeness.  Each round's
+    per-vertex ball estimate is kept as a cut-leaf column table; the
+    final readout is a (rounds+1)-way join on v (all legs already
+    hash-partitioned by v from their groupBys) feeding ONE fixed-order
+    codegen'd delta/t expression — increasing t, left-associated, so the
+    float result is bit-identical to the sequential kernel
+    (registers are deterministic md5; estimates are identical IEEE ops).
+
+    Returns harmonic_est rounded to 6 decimals.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sym = symmetrized(edges).repartition("src").persist()
+    sym.count()
+    regs = [f"r{i}" for i in range(k)]
+    state = cut_lineage(
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .selectExpr("v", *_init_register_exprs(k))
+    )
+    aggs = [F.bit_or(r).alias(r) for r in regs]
+    ests = [
+        cut_lineage(
+            anf_estimates(state, k).select("v", F.col("nf_est").alias("e0"))
+        )
+    ]
+    for t in range(1, rounds + 1):
+        msgs = sym.join(state, sym.dst == state.v).select(
+            F.col("src").alias("v"), *regs
+        )
+        new_state = cut_lineage(
+            state.unionByName(msgs).groupBy("v").agg(*aggs)
+        )
+        release(state)
+        state = new_state
+        ests.append(
+            cut_lineage(
+                anf_estimates(state, k).select(
+                    "v", F.col("nf_est").alias(f"e{t}")
+                )
+            )
+        )
+    sym.unpersist()
+    release(state)
+    wide = ests[0]
+    for t in range(1, rounds + 1):
+        wide = wide.join(ests[t], "v")
+    terms = " + ".join(
+        f"(e{t} - e{t - 1}) / {float(t)}d" for t in range(1, rounds + 1)
+    )
+    out = cut_lineage(wide.selectExpr("v", f"round({terms}, 6) as harmonic_est"))
+    for e in ests:
+        release(e)
+    return out

@@ -1367,3 +1367,16 @@ def ora_web_bowtie(d: str, n_sites: int = 53, n_hubs: int = 16,
     return values_sql(
         sorted(cats.items()), [("v", "BIGINT"), ("category", "VARCHAR")]
     )
+
+
+def ora_anf_harmonic(d: str, rounds: int = 3, k: int = 4) -> str:
+    """HyperBall-harmonic oracle for graph_anf_harmonic_centrality —
+    kernels.anf_harmonic over the copurchase adjacency, spark_round()ed
+    literals (operators/anf.py:anf_harmonic_centrality)."""
+    from .functions import kernels as K
+
+    h = K.anf_harmonic(_cp_adj(d), rounds, k)
+    return values_sql(
+        sorted((v, spark_round(x, 6)) for v, x in h.items()),
+        [("v", "BIGINT"), ("harmonic_est", "DOUBLE")],
+    )

@@ -186,3 +186,27 @@ def test_anf_effective_diameter_spark_matches_oracle_path(spark):
         )
     t_hit, eff = effective_diameter_from_totals(totals, 0.9)
     assert (row["q"], row["t_hit"], row["eff_diameter"]) == (0.9, t_hit, eff)
+
+
+def test_anf_harmonic_matches_kernel(spark):
+    from dachshund_spark.operators.anf import anf_harmonic_centrality
+    from dachshund_spark.oracles import spark_round
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (10, 11)]
+    got = {
+        r.v: r.harmonic_est
+        for r in anf_harmonic_centrality(
+            _edges_df(spark, edges), rounds=3, k=4
+        ).collect()
+    }
+    want = {
+        v: spark_round(h, 6)
+        for v, h in K.anf_harmonic(K.build_undirected_adj(edges), 3, 4).items()
+    }
+    assert got == want
+    # sketch harmonic is 0 for an isolated pair after its ball saturates
+    # at distance 1 only when the t=1 delta is 0 too — here 10<->11 has
+    # exactly one neighbor each, so H >= 0 and the t>=2 deltas vanish
+    h10 = K.anf_harmonic(K.build_undirected_adj(edges), 3, 4)[10]
+    h1 = K.anf_harmonic(K.build_undirected_adj(edges), 1, 4)[10]
+    assert h10 == h1  # no growth past t=1 for the isolated pair
