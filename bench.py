@@ -217,6 +217,15 @@ def run_bench(
     t0 = time.time()
     anf_sketches(cp, rounds=3, k=8).count()
     queries["anf_sketch_t3_k8"] = round(time.time() - t0, 3)
+
+    # --- HyperBall harmonic: the designated per-vertex closeness scale
+    # path (all vertices in `rounds` supersteps; the exact sampled-BFS
+    # path is gate-only because its cost scales with |sources|)
+    from dachshund_spark.operators.anf import anf_harmonic_centrality
+
+    t0 = time.time()
+    anf_harmonic_centrality(cp, rounds=3, k=8).count()
+    queries["anf_harmonic_t3_k8"] = round(time.time() - t0, 3)
     cp.unpersist()
 
     t0 = time.time()
