@@ -110,14 +110,19 @@ def anf_estimates(sketches: DataFrame, k: int = 8) -> DataFrame:
     set bit 63 — positions are trailing-zero counts <= 60 — so the +1
     cannot overflow.)
     """
+    return sketches.selectExpr("v", f"{_estimate_expr(k)} as nf_est")
+
+
+def _estimate_expr(k: int) -> str:
+    """The FM cardinality-estimate SQL expression over columns
+    ``r0..r{k-1}`` (shared by ``anf_estimates`` and the in-state
+    accumulator of ``anf_harmonic_centrality``)."""
     lows = [
         f"(bit_count(r{i} ^ (r{i} + cast(1 as bigint))) - 1)"
         for i in range(k)
     ]
     mean = "(" + " + ".join(lows) + f") / cast({k} as double)"
-    return sketches.selectExpr(
-        "v", f"power(cast(2 as double), {mean}) / {FM_PHI} as nf_est"
-    )
+    return f"power(cast(2 as double), {mean}) / {FM_PHI}"
 
 
 def anf_neighborhood_function(
@@ -244,13 +249,18 @@ def anf_harmonic_centrality(
     This is the scale companion to ``harmonic_centrality`` (exact,
     sampled sources): the exact path costs one BFS frontier per source,
     the sketch path serves ALL vertices in ``rounds`` supersteps total —
-    at 10^12 edges the only viable per-vertex closeness.  Each round's
-    per-vertex ball estimate is kept as a cut-leaf column table; the
-    final readout is a (rounds+1)-way join on v (all legs already
-    hash-partitioned by v from their groupBys) feeding ONE fixed-order
-    codegen'd delta/t expression — increasing t, left-associated, so the
-    float result is bit-identical to the sequential kernel
-    (registers are deterministic md5; estimates are identical IEEE ops).
+    at 10^12 edges the only viable per-vertex closeness.  The running
+    H accumulator and the previous ball estimate ride INSIDE the
+    superstep state (message rows carry typed nulls; ``max`` folds the
+    lone state row's values through the register aggregate), so the
+    whole operator costs exactly the sketch loop's one exchange per
+    round — no readout joins at all (cut leaves are opaque LogicalRDDs
+    that LOSE their output partitioning, so a join-based readout over
+    per-round leaves would re-shuffle every leg; measured: 4 Exchanges +
+    3 SortMergeJoins for rounds=3).  The per-round update
+    ``h += (e_new - e_prev)/t`` is increasing-t, left-associated —
+    bit-identical to the sequential kernel's accumulation (registers are
+    deterministic md5; estimates are identical IEEE ops).
 
     Returns harmonic_est rounded to 6 decimals.
     """
@@ -259,42 +269,38 @@ def anf_harmonic_centrality(
     sym = symmetrized(edges).repartition("src").persist()
     sym.count()
     regs = [f"r{i}" for i in range(k)]
+    est = _estimate_expr(k)
     state = cut_lineage(
         sym.select(F.col("src").alias("v"))
         .distinct()
         .selectExpr("v", *_init_register_exprs(k))
+        .selectExpr("v", *regs, f"{est} as e_prev", "cast(0.0 as double) as h")
     )
-    aggs = [F.bit_or(r).alias(r) for r in regs]
-    ests = [
-        cut_lineage(
-            anf_estimates(state, k).select("v", F.col("nf_est").alias("e0"))
-        )
+    aggs = [F.bit_or(r).alias(r) for r in regs] + [
+        F.max("e_prev").alias("e_prev"),
+        F.max("h").alias("h"),
     ]
     for t in range(1, rounds + 1):
         msgs = sym.join(state, sym.dst == state.v).select(
-            F.col("src").alias("v"), *regs
+            F.col("src").alias("v"),
+            *regs,
+            F.lit(None).cast("double").alias("e_prev"),
+            F.lit(None).cast("double").alias("h"),
         )
         new_state = cut_lineage(
-            state.unionByName(msgs).groupBy("v").agg(*aggs)
+            state.unionByName(msgs)
+            .groupBy("v")
+            .agg(*aggs)
+            .selectExpr(
+                "v",
+                *regs,
+                f"{est} as e_prev",
+                f"h + ({est} - e_prev) / {float(t)}d as h",
+            )
         )
         release(state)
         state = new_state
-        ests.append(
-            cut_lineage(
-                anf_estimates(state, k).select(
-                    "v", F.col("nf_est").alias(f"e{t}")
-                )
-            )
-        )
     sym.unpersist()
+    out = cut_lineage(state.selectExpr("v", "round(h, 6) as harmonic_est"))
     release(state)
-    wide = ests[0]
-    for t in range(1, rounds + 1):
-        wide = wide.join(ests[t], "v")
-    terms = " + ".join(
-        f"(e{t} - e{t - 1}) / {float(t)}d" for t in range(1, rounds + 1)
-    )
-    out = cut_lineage(wide.selectExpr("v", f"round({terms}, 6) as harmonic_est"))
-    for e in ests:
-        release(e)
     return out
