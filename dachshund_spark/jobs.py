@@ -40,7 +40,8 @@ def main(argv=None, _spark=None):
     p = argparse.ArgumentParser(prog="dachshund_spark.jobs")
     p.add_argument("job", choices=[
         "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
-        "ktruss", "scc", "featurize", "cliques", "sessions",
+        "ktruss", "scc", "bowtie", "harmonic", "featurize", "cliques",
+        "sessions",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -48,7 +49,10 @@ def main(argv=None, _spark=None):
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--damping", type=float, default=0.85)
-    p.add_argument("--impl", default="sql", choices=["sql", "csr"])
+    p.add_argument("--impl", default="sql",
+                   choices=["sql", "csr", "sketch", "exact"])
+    p.add_argument("--max-sources", type=int, default=100,
+                   help="sampled sources (harmonic --impl exact)")
     p.add_argument("--block-size", type=int, default=1,
                    help="supersteps chained per Spark action (pagerank)")
     p.add_argument("--k", type=int, default=3)
@@ -170,6 +174,25 @@ def main(argv=None, _spark=None):
             strongly_connected_components(edges, max_iter=args.max_iter),
             args.output,
         )
+    elif args.job == "bowtie":
+        from .operators.bowtie import bowtie_decomposition
+
+        edges = read_table(spark, args.input)
+        write_table(bowtie_decomposition(edges), args.output)
+    elif args.job == "harmonic":
+        edges = read_table(spark, args.input)
+        if args.impl == "exact":
+            from .operators.centrality import harmonic_centrality
+
+            out = harmonic_centrality(edges, max_sources=args.max_sources)
+        else:
+            from .operators.anf import anf_harmonic_centrality
+
+            # rounds from --max-iter (small by construction: ball radius)
+            out = anf_harmonic_centrality(
+                edges, rounds=min(args.max_iter, 16)
+            )
+        write_table(out, args.output)
     elif args.job == "sessions":
         # Structured Streaming end-to-end: file source -> session_window
         # aggregation -> parquet sink, bounded by the availableNow

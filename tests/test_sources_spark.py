@@ -255,3 +255,56 @@ def test_jobs_cli_hits(spark, tmp_path):
     sums = out.groupBy().sum("hub", "authority").collect()[0]
     assert sums[0] == pytest.approx(1.0, abs=1e-9)
     assert sums[1] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_jobs_cli_bowtie_and_harmonic(spark, tmp_path):
+    from dachshund_spark import jobs
+    from dachshund_spark.functions import kernels as K
+
+    edges = [
+        (10, 11), (11, 12), (12, 10),
+        (1, 10), (12, 20), (50, 51), (51, 50),
+    ]
+    edges_path = str(tmp_path / "edges")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(edges_path)
+
+    out_path = str(tmp_path / "bowtie")
+    jobs.main(
+        ["bowtie", "--input", edges_path, "--output", out_path],
+        _spark=spark,
+    )
+    got = {
+        r.v: r.category for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == K.bowtie(edges)
+
+    # harmonic: both physical paths through the CLI surface
+    h_exact = str(tmp_path / "h_exact")
+    jobs.main(
+        [
+            "harmonic", "--input", edges_path, "--output", h_exact,
+            "--impl", "exact", "--max-sources", "100",
+        ],
+        _spark=spark,
+    )
+    adj = K.build_undirected_adj(edges)
+    from dachshund_spark.oracles import spark_round
+
+    want = {
+        v: spark_round(h, 6)
+        for v, h in K.harmonic_centrality(adj, sorted(adj)).items()
+    }
+    got_e = {r.v: r.harmonic for r in spark.read.parquet(h_exact).collect()}
+    assert got_e == want
+
+    h_sketch = str(tmp_path / "h_sketch")
+    jobs.main(
+        [
+            "harmonic", "--input", edges_path, "--output", h_sketch,
+            "--impl", "sketch", "--max-iter", "3",
+        ],
+        _spark=spark,
+    )
+    got_s = spark.read.parquet(h_sketch)
+    assert sorted(got_s.columns) == ["harmonic_est", "v"]
+    assert got_s.count() == len(adj)
