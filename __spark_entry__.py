@@ -123,6 +123,25 @@ def event_cyc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.union(back)
 
 
+def event_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond-laden DAG fixture: per-(user, day) event chains with
+    skip-1 AND skip-2 succession edges — every interior chain vertex has
+    in-degree 2, so Kahn layering exercises real merge bookkeeping;
+    depth = max chain length (~10 at sf0.01)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("day"), "ts"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    legs = [
+        ev.select(
+            F.col("event_id").alias("src"),
+            F.lead("event_id", k).over(w).alias("dst"),
+        )
+        for k in (1, 2)
+    ]
+    return legs[0].union(legs[1]).filter(F.col("dst").isNotNull())
+
+
 def user_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(graph_id, src, dst): each user's in-day event-succession graph."""
     edges = event_chain_edges(spark, sf_dir)
@@ -754,6 +773,33 @@ def _q_adamic_adar(spark, sf_dir):
     from dachshund_spark.operators.linkpred import adamic_adar
 
     return adamic_adar(cp_small_edges(spark, sf_dir), min_common=2)
+
+
+def _q_mst_forest(spark, sf_dir):
+    # unique minimum spanning forest of the weighted copurchase subgraph
+    # under the (weight, src, dst) total order — distributed Boruvka vs
+    # the sequential Kruskal oracle
+    from dachshund_spark.operators.mst import minimum_spanning_forest
+
+    return minimum_spanning_forest(wcp_edges(spark, sf_dir))
+
+
+def _q_topo_levels(spark, sf_dir):
+    # Kahn topological layering of the event diamond DAG (level =
+    # longest-path distance from the DAG's sources)
+    from dachshund_spark.operators.dag import topological_levels
+
+    return topological_levels(event_dag_edges(spark, sf_dir))
+
+
+def _q_random_walks(spark, sf_dir):
+    # deterministic DeepWalk-style corpus: 2 walks x 4 steps per vertex
+    # of the small copurchase subgraph, md5-derived neighbor picks
+    from dachshund_spark.operators.walks import random_walks
+
+    return random_walks(
+        cp_small_edges(spark, sf_dir), walks_per_vertex=2, length=4, seed=0
+    )
 
 
 def _q_tfidf_top5(spark, sf_dir):
@@ -1445,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf_effective_diameter": _q_anf_eff_diameter,
         "graph_anf_harmonic_centrality": _q_anf_harmonic,
         "web_bowtie_structure": _q_web_bowtie,
+        "graph_mst_forest": _q_mst_forest,
+        "graph_topological_levels": _q_topo_levels,
+        "graph_random_walks": _q_random_walks,
     }
 
 
@@ -2102,6 +2151,9 @@ FROM f"""
     )
     sql["graph_anf_harmonic_centrality"] = O.ora_anf_harmonic(d, rounds=3, k=4)
     sql["web_bowtie_structure"] = O.ora_web_bowtie(d)
+    sql["graph_mst_forest"] = O.ora_mst_forest(d)
+    sql["graph_topological_levels"] = O.ora_topo_levels(d)
+    sql["graph_random_walks"] = O.ora_random_walks(d, walks=2, length=4, seed=0)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

@@ -1265,3 +1265,104 @@ def anf_harmonic(adj, rounds, k):
             acc = acc + (ests[t][v] - ests[t - 1][v]) / float(t)
         out[v] = acc
     return out
+
+
+def kahn_levels(edges):
+    """Sequential Kahn topological layering (oracle for
+    operators/dag.py:topological_levels): level(v) = round at which v's
+    in-degree reaches 0, i.e. the longest-path distance from the DAG's
+    sources.  Raises ValueError on a cycle — the constructive form of
+    the reference's is_acyclic check (simple_directed_graph.rs:25-43)."""
+    out_adj = defaultdict(set)
+    indeg = defaultdict(int)
+    verts = set()
+    for s, t in set(edges):
+        if t not in out_adj[s]:
+            out_adj[s].add(t)
+            indeg[t] += 1
+        verts.add(s)
+        verts.add(t)
+    frontier = sorted(v for v in verts if indeg[v] == 0)
+    levels = {}
+    level = 0
+    settled = 0
+    while frontier:
+        nxt = []
+        for v in frontier:
+            levels[v] = level
+            settled += 1
+            for u in out_adj[v]:
+                indeg[u] -= 1
+                if indeg[u] == 0:
+                    nxt.append(u)
+        frontier = sorted(nxt)
+        level += 1
+    if settled != len(verts):
+        raise ValueError(
+            f"kahn_levels: cycle detected - {len(verts) - settled} "
+            "vertices never reach in-degree 0"
+        )
+    return levels
+
+
+def kruskal_msf(weighted_edges):
+    """Sequential Kruskal minimum-spanning-forest oracle (for
+    operators/mst.py:minimum_spanning_forest): edges ordered by the
+    strict total key (weight, a, b) with a=min(src,dst), b=max — the
+    same composite order the distributed Boruvka uses, so the unique
+    MSF matches edge-for-edge.  Returns sorted [(a, b, w)]."""
+    canon = {}
+    for s, t, w in weighted_edges:
+        if s == t:
+            continue
+        a, b = (s, t) if s < t else (t, s)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    forest = []
+    for w, a, b in sorted((w, a, b) for (a, b), w in canon.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            forest.append((a, b, w))
+    return sorted(forest)
+
+
+def seeded_walks(adj, walks_per_vertex, length, seed):
+    """Sequential deterministic-walk oracle (for
+    operators/walks.py:random_walks): same md5-derived neighbor pick
+    over the same sorted neighbor lists, so rows match the distributed
+    output exactly.  Walks traverse the SIMPLE graph — self-loops are
+    dropped, matching the operator's canonical adjacency.  Returns
+    [(start, walk, step, v)]."""
+    import hashlib
+
+    rows = []
+    nbrs = {
+        v: sorted(n for n in ns if n != v) for v, ns in adj.items()
+    }
+    # a vertex with no simple-graph neighbors has no adjacency row on the
+    # distributed side, so it is not a walk start there either
+    for start in sorted(v for v in nbrs if nbrs[v]):
+        for r in range(walks_per_vertex):
+            cur = start
+            rows.append((start, r, 0, cur))
+            for i in range(1, length + 1):
+                ns = nbrs.get(cur)
+                if not ns:
+                    break
+                h = hashlib.md5(
+                    f"{seed}|{start}|{r}|{i}|{cur}".encode()
+                ).hexdigest()
+                cur = ns[int(h[:15], 16) % len(ns)]
+                rows.append((start, r, i, cur))
+    return rows

@@ -1,0 +1,122 @@
+"""Deterministic random-walk corpus generation (DeepWalk-style).
+
+Training-data pipelines over link graphs feed graph embeddings
+(DeepWalk, KDD 2014; node2vec, KDD 2016 — public) with fixed-length
+random-walk "sentences".  The reference engine has a seeded random walk
+only INSIDE its clique-miner beam initialization (beam.rs:54-142,
+single-machine); this operator is the distributed, corpus-scale form.
+
+Determinism — the property that makes walks gate-able as data: the step
+taken from vertex v at step i of walk (start, r) is
+
+    idx = md5(f"{seed}|{start}|{r}|{i}|{v}")[:15 hex] mod deg(v)
+    next = sorted-neighbor-list(v)[idx]
+
+a pure function of (graph, seed), independent of partitioning, task
+order, or retries.  md5 stays inside whole-stage codegen as a per-row
+JVM expression (the interpreted-lambda trap lives in higher-order
+functions, not projections — see BENCH/PLANS.md round 6), and the same
+bytes are reproduced on the oracle side with hashlib.
+
+Spark design: the neighbor list is never materialized per row — the
+adjacency is indexed ONCE (row_number over (src, dst) minus 1, one
+shuffle), co-partitioned with a degree table, and each step is
+
+    walkers ⋈ deg(cur)  ->  idx = H mod deg  ->  ⋈ adj on (cur, idx)
+
+two equi-joins shuffling only the walker rows (V × walks_per_vertex,
+independent of E).  Walkers at dead ends (directed sinks) simply produce
+no row and the walk ends.  Lineage is cut every 3 steps (plan-doubling
+discipline, cf. bfs_distances).  At 10^12 edges the adjacency index is
+the one big shuffle; each of the L steps then shuffles only the walker
+frontier — the standard DeepWalk-on-Spark shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.superstep import cut_lineage, release
+from .builders import symmetrized
+
+
+def _step_hash(seed: int, step: int):
+    """Codegen-friendly 60-bit hash of (seed, start, walk, step, cur)."""
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("start").cast("string"),
+            F.col("walk").cast("string"),
+            F.lit(str(step)),
+            F.col("cur").cast("string"),
+        )
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    length: int = 4,
+    seed: int = 0,
+    directed: bool = False,
+) -> DataFrame:
+    """(src, dst) -> DataFrame[start, walk, step, v]: ``walks_per_vertex``
+    deterministic uniform random walks of ``length`` steps from every
+    vertex (step 0 is the start vertex itself; shorter walks occur only
+    at directed dead ends)."""
+    # walks traverse the SIMPLE graph: self-loops dropped in both modes
+    # (symmetrized() already drops them on the undirected path)
+    adj_edges = (
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        if directed
+        else symmetrized(edges)
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = cut_lineage(
+        adj_edges.distinct().select(
+            "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+        )
+    )
+    deg = cut_lineage(adj.groupBy("src").agg(F.count("*").alias("deg")))
+
+    starts = adj.select(F.col("src").alias("start")).distinct()
+    walk_ids = F.explode(
+        F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+    ).alias("walk")
+    walkers = cut_lineage(
+        starts.select("start", walk_ids).select(
+            "start", "walk", F.col("start").alias("cur")
+        )
+    )
+    legs = [walkers.select("start", "walk", F.lit(0).alias("step"),
+                           F.col("cur").alias("v"))]
+    leaves = [walkers]
+    for step in range(1, length + 1):
+        idx = F.pmod(_step_hash(seed, step), F.col("deg")).cast("int")
+        nxt = (
+            walkers.join(deg, walkers.cur == deg.src)
+            .select("start", "walk", "cur", idx.alias("pick"))
+            .join(adj, (F.col("cur") == adj.src) & (F.col("pick") == adj.idx))
+            .select("start", "walk", F.col("dst").alias("cur"))
+        )
+        # cut every step: the frontier is small (V x walks rows) and the
+        # two-join plan would otherwise double against the previous leg
+        walkers = cut_lineage(nxt)
+        leaves.append(walkers)
+        legs.append(
+            walkers.select("start", "walk", F.lit(step).alias("step"),
+                           F.col("cur").alias("v"))
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    result = cut_lineage(out)
+    for leaf in leaves:
+        release(leaf)
+    release(adj)
+    release(deg)
+    return result

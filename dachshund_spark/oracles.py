@@ -1380,3 +1380,63 @@ def ora_anf_harmonic(d: str, rounds: int = 3, k: int = 4) -> str:
         sorted((v, spark_round(x, 6)) for v, x in h.items()),
         [("v", "BIGINT"), ("harmonic_est", "DOUBLE")],
     )
+
+
+_EVENT_DAG_Q = """
+SELECT src, dst FROM (
+  SELECT event_id AS src, lead(event_id, 1) OVER w AS dst FROM events
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id)
+  UNION ALL
+  SELECT event_id AS src, lead(event_id, 2) OVER w2 AS dst FROM events
+  WINDOW w2 AS (PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id)
+) WHERE dst IS NOT NULL
+"""
+
+
+@lru_cache(maxsize=4)
+def event_dag_edges(d: str) -> tuple:
+    """Mirror of __spark_entry__.event_dag_edges: per-(user, day) event
+    chains with skip-1 AND skip-2 succession edges — a diamond-laden DAG
+    whose depth is the max chain length (~10 at sf0.01)."""
+    return tuple(_con(d).execute(_EVENT_DAG_Q).fetchall())
+
+
+def ora_mst_forest(d: str) -> str:
+    """Sequential Kruskal oracle for graph_mst_forest
+    (operators/mst.py): same (weight, src, dst) total order, so the
+    unique minimum spanning forest matches the distributed Boruvka
+    edge-for-edge."""
+    from .functions import kernels as K
+
+    forest = K.kruskal_msf([(s, t, float(w)) for s, t, w in wcp_edges(d)])
+    return values_sql(
+        forest, [("src", "BIGINT"), ("dst", "BIGINT"), ("weight", "DOUBLE")]
+    )
+
+
+def ora_topo_levels(d: str) -> str:
+    """Sequential Kahn oracle for graph_topological_levels
+    (operators/dag.py) over the event diamond DAG."""
+    from .functions import kernels as K
+
+    levels = K.kahn_levels(event_dag_edges(d))
+    return values_sql(
+        sorted(levels.items()), [("v", "BIGINT"), ("level", "INTEGER")]
+    )
+
+
+def ora_random_walks(d: str, walks: int = 2, length: int = 4,
+                     seed: int = 0) -> str:
+    """Sequential deterministic-walk oracle for graph_random_walks
+    (operators/walks.py): kernels.seeded_walks reproduces the md5
+    neighbor picks over the same sorted adjacency."""
+    from .functions import kernels as K
+
+    rows = sorted(K.seeded_walks(_cp_small_adj(d), walks, length, seed))
+    return values_sql(
+        rows,
+        [("start", "BIGINT"), ("walk", "INTEGER"), ("step", "INTEGER"),
+         ("v", "BIGINT")],
+    )
