@@ -41,7 +41,7 @@ def main(argv=None, _spark=None):
     p.add_argument("job", choices=[
         "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
         "ktruss", "scc", "bowtie", "harmonic", "featurize", "cliques",
-        "sessions",
+        "sessions", "mst", "topo", "walks",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -57,6 +57,14 @@ def main(argv=None, _spark=None):
                    help="supersteps chained per Spark action (pagerank)")
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--typespec", default=None, help="JSON typespec for cliques")
+    p.add_argument("--weight-col", default="weight",
+                   help="edge weight column (mst)")
+    p.add_argument("--walks-per-vertex", type=int, default=1,
+                   help="walks started per vertex (walks)")
+    p.add_argument("--walk-length", type=int, default=10,
+                   help="steps per walk (walks)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="determinism seed (walks)")
     p.add_argument("--gap", default="30 minutes",
                    help="session merge gap (sessions)")
     p.add_argument("--watermark", default="2 hours",
@@ -193,6 +201,32 @@ def main(argv=None, _spark=None):
                 edges, rounds=min(args.max_iter, 16)
             )
         write_table(out, args.output)
+    elif args.job == "mst":
+        from .operators.mst import minimum_spanning_forest
+
+        edges = read_table(spark, args.input)
+        write_table(
+            minimum_spanning_forest(edges, weight_col=args.weight_col),
+            args.output,
+        )
+    elif args.job == "topo":
+        from .operators.dag import topological_levels
+
+        edges = read_table(spark, args.input)
+        write_table(topological_levels(edges), args.output)
+    elif args.job == "walks":
+        from .operators.walks import random_walks
+
+        edges = read_table(spark, args.input)
+        write_table(
+            random_walks(
+                edges,
+                walks_per_vertex=args.walks_per_vertex,
+                length=args.walk_length,
+                seed=args.seed,
+            ),
+            args.output,
+        )
     elif args.job == "sessions":
         # Structured Streaming end-to-end: file source -> session_window
         # aggregation -> parquet sink, bounded by the availableNow

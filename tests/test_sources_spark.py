@@ -308,3 +308,36 @@ def test_jobs_cli_bowtie_and_harmonic(spark, tmp_path):
     got_s = spark.read.parquet(h_sketch)
     assert sorted(got_s.columns) == ["harmonic_est", "v"]
     assert got_s.count() == len(adj)
+
+
+def test_jobs_cli_mst_topo_walks(spark, tmp_path):
+    from dachshund_spark import jobs
+    from dachshund_spark.functions import kernels as K
+
+    wedges = [(1, 2, 5.0), (2, 3, 1.0), (1, 3, 5.0), (10, 11, 2.0),
+              (11, 12, 2.0), (10, 12, 2.0)]
+    wpath = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        wedges, "src long, dst long, weight double"
+    ).write.parquet(wpath)
+    mpath = str(tmp_path / "msf")
+    jobs.main(["mst", "--input", wpath, "--output", mpath], _spark=spark)
+    got = sorted(tuple(r) for r in spark.read.parquet(mpath).collect())
+    assert got == K.kruskal_msf(wedges)
+
+    dag = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    dpath = str(tmp_path / "dag")
+    spark.createDataFrame(dag, "src long, dst long").write.parquet(dpath)
+    tpath = str(tmp_path / "topo")
+    jobs.main(["topo", "--input", dpath, "--output", tpath], _spark=spark)
+    got = {r.v: r.level for r in spark.read.parquet(tpath).collect()}
+    assert got == K.kahn_levels(dag)
+
+    opath = str(tmp_path / "walks")
+    jobs.main(
+        ["walks", "--input", dpath, "--output", opath,
+         "--walks-per-vertex", "2", "--walk-length", "3", "--seed", "5"],
+        _spark=spark,
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(opath).collect())
+    assert got == sorted(K.seeded_walks(K.build_undirected_adj(dag), 2, 3, 5))
