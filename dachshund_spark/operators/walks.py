@@ -76,47 +76,70 @@ def random_walks(
         else symmetrized(edges)
     )
     w = Window.partitionBy("src").orderBy("dst")
-    adj = cut_lineage(
-        adj_edges.distinct().select(
-            "src", "dst", (F.row_number().over(w) - 1).alias("idx")
-        )
-    )
-    deg = cut_lineage(adj.groupBy("src").agg(F.count("*").alias("deg")))
+    # static tables are persisted, not lineage-cut: a cut leaf is an
+    # opaque LogicalRDD that LOSES its output partitioning (see
+    # BENCH/PLANS.md round 6), so every step's join would re-exchange
+    # the full adjacency; persisted, the window's hash-partitioning by
+    # src survives and each step exchanges only the walker frontier.
+    # (cut_lineage is for ITERATIVE state, where persist compounds
+    # Catalyst stats round over round — adj/deg never re-derive.)
+    adj = adj_edges.distinct().select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+    ).persist()
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    deg.count()
+    spark = edges.sparkSession
+    # the step join's key is (src, idx) but adj is cached hash(src)-
+    # partitioned; by default Spark requires ALL cluster keys for
+    # co-partitioning and would re-exchange the full adjacency EVERY
+    # step.  Subset-key co-partitioning is correctness-neutral (equal
+    # (src, idx) pairs share a hash(src) partition) and verified to drop
+    # the adj-side Exchange entirely (InMemoryTableScan + Sort only).
+    _CO_KEY = "spark.sql.requireAllClusterKeysForCoPartition"
+    prev_co = spark.conf.get(_CO_KEY, "true")
+    spark.conf.set(_CO_KEY, "false")
 
-    starts = adj.select(F.col("src").alias("start")).distinct()
-    walk_ids = F.explode(
-        F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
-    ).alias("walk")
-    walkers = cut_lineage(
-        starts.select("start", walk_ids).select(
-            "start", "walk", F.col("start").alias("cur")
+    try:
+        starts = adj.select(F.col("src").alias("start")).distinct()
+        walk_ids = F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("walk")
+        walkers = cut_lineage(
+            starts.select("start", walk_ids).select(
+                "start", "walk", F.col("start").alias("cur")
+            )
         )
-    )
-    legs = [walkers.select("start", "walk", F.lit(0).alias("step"),
-                           F.col("cur").alias("v"))]
-    leaves = [walkers]
-    for step in range(1, length + 1):
-        idx = F.pmod(_step_hash(seed, step), F.col("deg")).cast("int")
-        nxt = (
-            walkers.join(deg, walkers.cur == deg.src)
-            .select("start", "walk", "cur", idx.alias("pick"))
-            .join(adj, (F.col("cur") == adj.src) & (F.col("pick") == adj.idx))
-            .select("start", "walk", F.col("dst").alias("cur"))
-        )
-        # cut every step: the frontier is small (V x walks rows) and the
-        # two-join plan would otherwise double against the previous leg
-        walkers = cut_lineage(nxt)
-        leaves.append(walkers)
-        legs.append(
-            walkers.select("start", "walk", F.lit(step).alias("step"),
-                           F.col("cur").alias("v"))
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.union(leg)
-    result = cut_lineage(out)
-    for leaf in leaves:
-        release(leaf)
-    release(adj)
-    release(deg)
+        legs = [walkers.select("start", "walk", F.lit(0).alias("step"),
+                               F.col("cur").alias("v"))]
+        leaves = [walkers]
+        for step in range(1, length + 1):
+            idx = F.pmod(_step_hash(seed, step), F.col("deg")).cast("int")
+            nxt = (
+                walkers.join(deg, walkers.cur == deg.src)
+                .select("start", "walk", "cur", idx.alias("pick"))
+                .join(
+                    adj,
+                    (F.col("cur") == adj.src) & (F.col("pick") == adj.idx),
+                )
+                .select("start", "walk", F.col("dst").alias("cur"))
+            )
+            # cut every step: the frontier is small (V x walks rows) and
+            # the two-join plan would otherwise double against the
+            # previous leg
+            walkers = cut_lineage(nxt)
+            leaves.append(walkers)
+            legs.append(
+                walkers.select("start", "walk", F.lit(step).alias("step"),
+                               F.col("cur").alias("v"))
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.union(leg)
+        result = cut_lineage(out)
+        for leaf in leaves:
+            release(leaf)
+    finally:
+        spark.conf.set(_CO_KEY, prev_co)
+        adj.unpersist()
+        deg.unpersist()
     return result
