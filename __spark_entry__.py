@@ -802,6 +802,21 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_luby_mis(spark, sf_dir):
+    # Luby maximal independent set of the full copurchase graph —
+    # deterministic md5 per-round priorities, so even this "randomized"
+    # symmetry-breaking primitive is value-hash-gated (members + round)
+    from dachshund_spark.operators.mis import luby_mis
+
+    return luby_mis(copurchase_edges(spark, sf_dir), seed=0)
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    from dachshund_spark.functions.textops import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
 def _q_tfidf_top5(spark, sf_dir):
     from dachshund_spark.functions.textops import tfidf_top_terms
 
@@ -1494,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mst_forest": _q_mst_forest,
         "graph_topological_levels": _q_topo_levels,
         "graph_random_walks": _q_random_walks,
+        "graph_luby_mis": _q_luby_mis,
+        "doc_gopher_repetition": _q_gopher_repetition,
     }
 
 
@@ -2154,6 +2171,8 @@ FROM f"""
     sql["graph_mst_forest"] = O.ora_mst_forest(d)
     sql["graph_topological_levels"] = O.ora_topo_levels(d)
     sql["graph_random_walks"] = O.ora_random_walks(d, walks=2, length=4, seed=0)
+    sql["graph_luby_mis"] = O.ora_luby_mis(d, seed=0)
+    sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

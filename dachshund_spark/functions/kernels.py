@@ -1366,3 +1366,33 @@ def seeded_walks(adj, walks_per_vertex, length, seed):
                 cur = ns[int(h[:15], 16) % len(ns)]
                 rows.append((start, r, i, cur))
     return rows
+
+
+def luby_mis(adj, seed=0):
+    """Sequential mirror of operators/mis.py:luby_mis — same md5 priority
+    order, same round structure, so members AND join rounds match the
+    distributed output exactly.  Self-loops are ignored (the operator's
+    canonical form drops them).  Returns {v: mis_round}."""
+    import hashlib
+
+    nbrs = {v: {n for n in ns if n != v} for v, ns in adj.items()}
+    active = set(nbrs)
+    out = {}
+    rnd = 0
+    while active:
+        pri = {
+            v: (hashlib.md5(f"{seed}:{rnd}:{v}".encode()).hexdigest(), v)
+            for v in active
+        }
+        winners = {
+            v
+            for v in active
+            if all(pri[v] < pri[u] for u in nbrs[v] if u in active)
+        }
+        removed = set(winners)
+        for v in winners:
+            out[v] = rnd
+            removed |= nbrs[v] & active
+        active -= removed
+        rnd += 1
+    return out

@@ -268,3 +268,94 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1's repetition filters) per document:
+
+    - ``top_2gram_frac`` / ``top_3gram_frac`` — fraction of non-space
+      characters covered by all occurrences of the single most frequent
+      word 2-gram / 3-gram (ties broken lexicographically);
+    - ``dup_5gram_frac`` — fraction of non-space characters covered by
+      occurrences of 5-grams that appear more than once.
+
+    Character coverage is occurrence-weighted (count × non-space chars of
+    the n-gram) over the document's total non-space characters — a
+    documented simplification of the paper's position-set union (overlap
+    positions count once there); both sides of the gate implement THIS
+    definition, and the filter thresholds it feeds are calibrated to it.
+
+    Plan shape: one posexplode, ONE per-doc ordered window producing the
+    2/3/5-gram columns via ``lead`` (no HOF lambdas — those drop out of
+    whole-stage codegen, see winnow_fingerprints), an inline explode to
+    long (n, gram) form, one (doc_id, n, gram) count aggregate, one
+    (doc_id, n) roll-up, and a conditional-aggregation pivot back to one
+    row per doc.  Both groupBys hash-partition on doc_id-prefixed keys,
+    so at 100 TB the shuffles are bounded by distinct n-grams per doc,
+    with map-side partial aggregation doing the heavy fold.
+    """
+    base = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("ns_chars"),
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # window projection FIRST, generator in a separate select — Catalyst
+    # rejects window expressions that end up inside a generator's child
+    # filter otherwise (UNSUPPORTED_EXPR_FOR_OPERATOR)
+    led = tok.select(
+        "doc_id",
+        "term",
+        *[F.lead("term", i).over(w).alias(f"t{i}") for i in range(1, 5)],
+    )
+    leads = [F.col("term")] + [F.col(f"t{i}") for i in range(1, 5)]
+    grams = led.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.when(
+                            leads[n - 1].isNotNull(),
+                            F.concat_ws(" ", *leads[:n]),
+                        ).alias("gram"),
+                    )
+                    for n in (2, 3, 5)
+                ]
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.n", "g.gram").filter(F.col("gram").isNotNull())
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    gram_chars = F.length(F.replace("gram", F.lit(" "), F.lit("")))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        # most frequent gram: min(struct(-cnt, gram)) = (count DESC,
+        # gram ASC); its covered chars = cnt * non-space gram length
+        F.min(F.struct((-F.col("cnt")).alias("nc"), "gram")).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * gram_chars).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    top_chars = (-F.col("top.nc")) * F.length(
+        F.replace("top.gram", F.lit(" "), F.lit(""))
+    )
+    pivoted = per_n.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, top_chars)).alias("t2"),
+        F.max(F.when(F.col("n") == 3, top_chars)).alias("t3"),
+        F.max(F.when(F.col("n") == 5, F.col("dup_chars"))).alias("d5"),
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        F.coalesce(c, F.lit(0)) / F.greatest("ns_chars", F.lit(1)), 6
+    )
+    return base.join(pivoted, "doc_id", "left").select(
+        "doc_id",
+        frac(F.col("t2")).alias("top_2gram_frac"),
+        frac(F.col("t3")).alias("top_3gram_frac"),
+        frac(F.col("d5")).alias("dup_5gram_frac"),
+    )

@@ -41,7 +41,7 @@ def main(argv=None, _spark=None):
     p.add_argument("job", choices=[
         "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
         "ktruss", "scc", "bowtie", "harmonic", "featurize", "cliques",
-        "sessions", "mst", "topo", "walks",
+        "sessions", "mst", "topo", "walks", "mis",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -64,7 +64,7 @@ def main(argv=None, _spark=None):
     p.add_argument("--walk-length", type=int, default=10,
                    help="steps per walk (walks)")
     p.add_argument("--seed", type=int, default=0,
-                   help="determinism seed (walks)")
+                   help="determinism seed (walks, mis)")
     p.add_argument("--gap", default="30 minutes",
                    help="session merge gap (sessions)")
     p.add_argument("--watermark", default="2 hours",
@@ -227,6 +227,11 @@ def main(argv=None, _spark=None):
             ),
             args.output,
         )
+    elif args.job == "mis":
+        from .operators.mis import luby_mis
+
+        edges = read_table(spark, args.input)
+        write_table(luby_mis(edges, seed=args.seed), args.output)
     elif args.job == "sessions":
         # Structured Streaming end-to-end: file source -> session_window
         # aggregation -> parquet sink, bounded by the availableNow

@@ -1440,3 +1440,67 @@ def ora_random_walks(d: str, walks: int = 2, length: int = 4,
         [("start", "BIGINT"), ("walk", "INTEGER"), ("step", "INTEGER"),
          ("v", "BIGINT")],
     )
+
+
+def ora_luby_mis(d: str, seed: int = 0) -> str:
+    """Sequential Luby oracle for graph_luby_mis (operators/mis.py):
+    kernels.luby_mis reproduces the md5 per-round priorities over the
+    same copurchase adjacency, so members and join rounds match the
+    distributed output exactly."""
+    from .functions import kernels as K
+
+    mis = K.luby_mis(_cp_adj(d), seed=seed)
+    return values_sql(
+        sorted(mis.items()), [("v", "BIGINT"), ("mis_round", "INTEGER")]
+    )
+
+
+def ora_gopher_repetition(d: str) -> str:
+    """Pure-python mirror of textops.gopher_repetition over the same
+    documents: whitespace tokenization, occurrence-weighted n-gram char
+    coverage, spark_round()ed ratios (see that docstring for the
+    definition both sides pin)."""
+    import re
+
+    rows = []
+    for doc_id, text in _con(d).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall():
+        ns_chars = len(re.sub(r"\s+", "", text or ""))
+        toks = [t for t in re.split(r"\s+", (text or "").strip()) if t]
+        fracs = {}
+        for n in (2, 3, 5):
+            counts: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            if counts:
+                # (count DESC, gram ASC) — min over (-cnt, gram)
+                nc, top = min((-c, g) for g, c in counts.items())
+                top_chars = (-nc) * len(top.replace(" ", ""))
+            else:
+                top_chars = 0
+            dup_chars = sum(
+                c * len(g.replace(" ", ""))
+                for g, c in counts.items()
+                if c >= 2
+            )
+            fracs[n] = (top_chars, dup_chars)
+        denom = max(ns_chars, 1)
+        rows.append(
+            (
+                doc_id,
+                spark_round(fracs[2][0] / denom, 6),
+                spark_round(fracs[3][0] / denom, 6),
+                spark_round(fracs[5][1] / denom, 6),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("top_2gram_frac", "DOUBLE"),
+            ("top_3gram_frac", "DOUBLE"),
+            ("dup_5gram_frac", "DOUBLE"),
+        ],
+    )
