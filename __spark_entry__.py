@@ -802,6 +802,28 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_node2vec_walks(spark, sf_dir):
+    # second-order biased walks (node2vec p=2, q=0.5) on the small
+    # copurchase subgraph — inverse-CDF md5 picks => hash-gateable
+    from dachshund_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        cp_small_edges(spark, sf_dir),
+        walks_per_vertex=1, length=4, p=2.0, q=0.5, seed=0,
+    )
+
+
+def _q_user_sample(spark, sf_dir):
+    # deterministic per-user event sample (k=5): md5-ranked
+    # uniform-without-replacement, reproducible across engines/retries
+    from dachshund_spark.functions.sampling import deterministic_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return deterministic_sample(
+        ev, ["user_id"], "event_id", k=5, seed=7
+    ).select("user_id", "event_id", "sample_rank")
+
+
 def _q_luby_mis(spark, sf_dir):
     # Luby maximal independent set of the full copurchase graph —
     # deterministic md5 per-round priorities, so even this "randomized"
@@ -1511,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_random_walks,
         "graph_luby_mis": _q_luby_mis,
         "doc_gopher_repetition": _q_gopher_repetition,
+        "graph_node2vec_walks": _q_node2vec_walks,
+        "events_user_sample": _q_user_sample,
     }
 
 
@@ -2173,6 +2197,20 @@ FROM f"""
     sql["graph_random_walks"] = O.ora_random_walks(d, walks=2, length=4, seed=0)
     sql["graph_luby_mis"] = O.ora_luby_mis(d, seed=0)
     sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
+    sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
+        d, walks=1, length=4, p=2.0, q=0.5, seed=0
+    )
+    sql["events_user_sample"] = """
+SELECT user_id, event_id, sample_rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5(concat('7', '|', CAST(event_id AS VARCHAR))),
+                    event_id
+         ) AS sample_rank
+  FROM events
+) WHERE sample_rank <= 5
+"""
     sql["graph_eigenvector_centrality"] = O.ora_eigenvector_centrality(d)
     sql["graph_coreness_anomaly"] = O.ora_coreness_anomaly(d)
     sql["graph_weighted_coreness"] = O.ora_weighted_coreness(d)

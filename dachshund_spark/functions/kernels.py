@@ -1396,3 +1396,58 @@ def luby_mis(adj, seed=0):
         active -= removed
         rnd += 1
     return out
+
+
+def node2vec_seeded_walks(adj, walks_per_vertex, length, p, q, seed):
+    """Sequential mirror of operators/walks.py:node2vec_walks — same
+    md5-derived uniform step 1, same inverse-CDF biased pick with the
+    cumulative weights folded in ascending-neighbor order, so every float
+    op is the same IEEE sequence as the distributed window sum.  Returns
+    [(start, walk, step, v)]."""
+    import hashlib
+
+    nbrs = {v: sorted(n for n in ns if n != v) for v, ns in adj.items()}
+    nsets = {v: set(ns) for v, ns in nbrs.items()}
+    rows = []
+    for start in sorted(v for v in nbrs if nbrs[v]):
+        for r in range(walks_per_vertex):
+            cur = start
+            rows.append((start, r, 0, cur))
+            if length < 1:
+                continue
+            ns = nbrs[cur]
+            h = hashlib.md5(f"{seed}|{start}|{r}|1|{cur}".encode()).hexdigest()
+            prev, cur = cur, ns[int(h[:15], 16) % len(ns)]
+            rows.append((start, r, 1, cur))
+            for i in range(2, length + 1):
+                ns = nbrs.get(cur)
+                if not ns:
+                    break
+                cum = []
+                acc = 0.0
+                for x in ns:
+                    if x == prev:
+                        wt = 1.0 / p
+                    elif x in nsets[prev]:
+                        wt = 1.0
+                    else:
+                        wt = 1.0 / q
+                    acc = acc + wt
+                    cum.append(acc)
+                total = cum[-1]
+                u = (
+                    int(
+                        hashlib.md5(
+                            f"{seed}|{start}|{r}|{i}|{prev}|{cur}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    / float(16 ** 15)
+                )
+                thr = u * total
+                pick = next(
+                    j for j, c in enumerate(cum) if c > thr
+                )
+                prev, cur = cur, ns[pick]
+                rows.append((start, r, i, cur))
+    return rows

@@ -65,6 +65,11 @@ def main(argv=None, _spark=None):
                    help="steps per walk (walks)")
     p.add_argument("--seed", type=int, default=0,
                    help="determinism seed (walks, mis)")
+    p.add_argument("--p", type=float, default=1.0,
+                   help="node2vec return parameter (walks; p or q != 1 "
+                        "switches to second-order biased walks)")
+    p.add_argument("--q", type=float, default=1.0,
+                   help="node2vec in-out parameter (walks)")
     p.add_argument("--gap", default="30 minutes",
                    help="session merge gap (sessions)")
     p.add_argument("--watermark", default="2 hours",
@@ -215,18 +220,28 @@ def main(argv=None, _spark=None):
         edges = read_table(spark, args.input)
         write_table(topological_levels(edges), args.output)
     elif args.job == "walks":
-        from .operators.walks import random_walks
-
         edges = read_table(spark, args.input)
-        write_table(
-            random_walks(
+        if args.p != 1.0 or args.q != 1.0:
+            from .operators.walks import node2vec_walks
+
+            out = node2vec_walks(
+                edges,
+                walks_per_vertex=args.walks_per_vertex,
+                length=args.walk_length,
+                p=args.p,
+                q=args.q,
+                seed=args.seed,
+            )
+        else:
+            from .operators.walks import random_walks
+
+            out = random_walks(
                 edges,
                 walks_per_vertex=args.walks_per_vertex,
                 length=args.walk_length,
                 seed=args.seed,
-            ),
-            args.output,
-        )
+            )
+        write_table(out, args.output)
     elif args.job == "mis":
         from .operators.mis import luby_mis
 

@@ -143,3 +143,153 @@ def random_walks(
         adj.unpersist()
         deg.unpersist()
     return result
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    length: int = 4,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    directed: bool = False,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec, KDD 2016):
+    the step from ``cur`` with predecessor ``prev`` weights each neighbor
+    ``x`` by 1/p if x == prev (return), 1 if x is adjacent to prev
+    (BFS-ish), else 1/q (DFS-ish), and samples proportionally.
+
+    Determinism (the hash-gate property): the sample uses
+    u = md5(seed|start|walk|step|prev|cur)[:15 hex] / 16^15 ∈ [0, 1) as
+    the inverse-CDF threshold over the neighbor list in ascending-dst
+    order — a pure function of (graph, seed).  The cumulative weights are
+    a fixed-order sequential fold (window cumulative sum ordered by dst),
+    the kernel mirror accumulates in the same order, and every float op
+    (1/p, u*total, the running sum) is the same IEEE sequence on both
+    sides, so even the biased walk is value-hash-gated.
+
+    Spark design: step 1 (no predecessor) is the uniform indexed pick of
+    ``random_walks``.  Steps >= 2 expand the frontier against the
+    persisted adjacency (frontier × avg-degree rows — inherent to
+    second-order walks, this is exactly the neighborhood the transition
+    distribution is defined over), flag prev-adjacency with one more
+    equi-join against the same adjacency, and pick via two window
+    functions per (start, walk): cumulative weight and its lag.  Three
+    frontier-sized exchanges per step, never an edge-table shuffle;
+    lineage cut every step.
+    """
+    adj_edges = (
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        if directed
+        else symmetrized(edges)
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = adj_edges.distinct().select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+    ).persist()
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    deg.count()
+    spark = edges.sparkSession
+    _CO_KEY = "spark.sql.requireAllClusterKeysForCoPartition"
+    prev_co = spark.conf.get(_CO_KEY, "true")
+    spark.conf.set(_CO_KEY, "false")
+    try:
+        starts = adj.select(F.col("src").alias("start")).distinct()
+        walk_ids = F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("walk")
+        walkers = cut_lineage(
+            starts.select("start", walk_ids).select(
+                "start", "walk", F.col("start").alias("cur")
+            )
+        )
+        legs = [walkers.select("start", "walk", F.lit(0).alias("step"),
+                               F.col("cur").alias("v"))]
+        leaves = [walkers]
+        # step 1: uniform (no predecessor) — the random_walks pick
+        if length >= 1:
+            idx = F.pmod(_step_hash(seed, 1), F.col("deg")).cast("int")
+            nxt = (
+                walkers.join(deg, walkers.cur == deg.src)
+                .select("start", "walk", "cur", idx.alias("pick"))
+                .join(
+                    adj,
+                    (F.col("cur") == adj.src) & (F.col("pick") == adj.idx),
+                )
+                .select(
+                    "start", "walk",
+                    F.col("cur").alias("prev"), F.col("dst").alias("cur"),
+                )
+            )
+            walkers = cut_lineage(nxt)
+            leaves.append(walkers)
+            legs.append(
+                walkers.select("start", "walk", F.lit(1).alias("step"),
+                               F.col("cur").alias("v"))
+            )
+        nbr_flag = adj.select(
+            F.col("src").alias("prev"), F.col("dst").alias("cand"),
+            F.lit(True).alias("is_nbr"),
+        )
+        for step in range(2, length + 1):
+            cand = (
+                walkers.join(adj, walkers.cur == adj.src)
+                .select("start", "walk", "prev", "cur",
+                        F.col("dst").alias("cand"))
+                .join(nbr_flag, ["prev", "cand"], "left")
+            )
+            wt = (
+                F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("is_nbr"), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            ww = Window.partitionBy("start", "walk").orderBy("cand")
+            wp = Window.partitionBy("start", "walk")
+            h = F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.col("start").cast("string"),
+                    F.col("walk").cast("string"),
+                    F.lit(str(step)),
+                    F.col("prev").cast("string"),
+                    F.col("cur").cast("string"),
+                )
+            )
+            u = (
+                F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                / F.lit(float(16 ** 15))
+            )
+            scored = cand.select(
+                "start", "walk", "cur", "cand",
+                F.sum(wt).over(ww).alias("cum"),
+                u.alias("u"),
+            ).select(
+                "start", "walk", "cur", "cand", "cum", "u",
+                F.lag("cum", 1, 0.0).over(ww).alias("lag_cum"),
+                F.max("cum").over(wp).alias("total"),
+            )
+            thr = F.col("u") * F.col("total")
+            nxt = scored.filter(
+                (F.col("lag_cum") <= thr) & (F.col("cum") > thr)
+            ).select(
+                "start", "walk",
+                F.col("cur").alias("prev"), F.col("cand").alias("cur"),
+            )
+            walkers = cut_lineage(nxt)
+            leaves.append(walkers)
+            legs.append(
+                walkers.select("start", "walk", F.lit(step).alias("step"),
+                               F.col("cur").alias("v"))
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.union(leg)
+        result = cut_lineage(out)
+        for leaf in leaves:
+            release(leaf)
+    finally:
+        spark.conf.set(_CO_KEY, prev_co)
+        adj.unpersist()
+        deg.unpersist()
+    return result

@@ -1504,3 +1504,22 @@ def ora_gopher_repetition(d: str) -> str:
             ("dup_5gram_frac", "DOUBLE"),
         ],
     )
+
+
+def ora_node2vec_walks(d: str, walks: int = 1, length: int = 4,
+                       p: float = 2.0, q: float = 0.5,
+                       seed: int = 0) -> str:
+    """Sequential mirror oracle for graph_node2vec_walks
+    (operators/walks.py:node2vec_walks): kernels.node2vec_seeded_walks
+    reproduces the uniform step 1 and the inverse-CDF biased picks with
+    the identical fixed-order float fold."""
+    from .functions import kernels as K
+
+    rows = sorted(
+        K.node2vec_seeded_walks(_cp_small_adj(d), walks, length, p, q, seed)
+    )
+    return values_sql(
+        rows,
+        [("start", "BIGINT"), ("walk", "INTEGER"), ("step", "INTEGER"),
+         ("v", "BIGINT")],
+    )
