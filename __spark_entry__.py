@@ -802,6 +802,14 @@ def _q_random_walks(spark, sf_dir):
     )
 
 
+def _q_trussness(spark, sf_dir):
+    # full truss decomposition (max k per edge) of the small copurchase
+    # subgraph — the truss analog of graph_coreness
+    from dachshund_spark.operators.coreness import trussness
+
+    return trussness(cp_small_edges(spark, sf_dir))
+
+
 def _q_node2vec_walks(spark, sf_dir):
     # second-order biased walks (node2vec p=2, q=0.5) on the small
     # copurchase subgraph — inverse-CDF md5 picks => hash-gateable
@@ -1535,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_repetition": _q_gopher_repetition,
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
+        "graph_trussness": _q_trussness,
     }
 
 
@@ -2200,6 +2209,7 @@ FROM f"""
     sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
         d, walks=1, length=4, p=2.0, q=0.5, seed=0
     )
+    sql["graph_trussness"] = O.ora_trussness(d)
     sql["events_user_sample"] = """
 SELECT user_id, event_id, sample_rank FROM (
   SELECT user_id, event_id,

@@ -1451,3 +1451,36 @@ def node2vec_seeded_walks(adj, walks_per_vertex, length, p, q, seed):
                 prev, cur = cur, ns[pick]
                 rows.append((start, r, i, cur))
     return rows
+
+
+def trussness(adj):
+    """Sequential mirror of operators/coreness.py:trussness — identical
+    batch-round peel (drops labeled per stage, triangles counted the
+    round their first edge drops, distinct triples), so trussness labels
+    match the distributed output exactly.  Returns {(src, dst): k} over
+    canonical (src < dst) simple edges."""
+    nbrs = {v: {u for u in ns if u != v} for v, ns in adj.items()}
+    remaining = {(a, b) for a in nbrs for b in nbrs[a] if a < b}
+    sup = {(a, b): len(nbrs[a] & nbrs[b]) for (a, b) in remaining}
+    out = {}
+    k = 3
+    while remaining:
+        drop = {e for e in remaining if sup[e] < k - 2}
+        if not drop:
+            k = min(sup[e] for e in remaining) + 3
+            continue
+        tris = set()
+        for u, w in drop:
+            for a in nbrs[u] & nbrs[w]:
+                tris.add(tuple(sorted((u, w, a))))
+        for e in drop:
+            remaining.discard(e)
+            out[e] = k - 1
+            a, b = e
+            nbrs[a].discard(b)
+            nbrs[b].discard(a)
+        for x, y, z in tris:
+            for e in ((x, y), (x, z), (y, z)):
+                if e in remaining:
+                    sup[e] -= 1
+    return out

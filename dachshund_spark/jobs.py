@@ -41,7 +41,7 @@ def main(argv=None, _spark=None):
     p.add_argument("job", choices=[
         "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
         "ktruss", "scc", "bowtie", "harmonic", "featurize", "cliques",
-        "sessions", "mst", "topo", "walks", "mis",
+        "sessions", "mst", "topo", "walks", "mis", "trussness",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -242,6 +242,11 @@ def main(argv=None, _spark=None):
                 seed=args.seed,
             )
         write_table(out, args.output)
+    elif args.job == "trussness":
+        from .operators.coreness import trussness
+
+        edges = read_table(spark, args.input)
+        write_table(trussness(edges), args.output)
     elif args.job == "mis":
         from .operators.mis import luby_mis
 

@@ -691,3 +691,115 @@ def k_truss_components(edges: DataFrame, k: int) -> DataFrame:
     """DataFrame[v, component] over the k-truss subgraph."""
     truss = k_truss_edges(edges, k)
     return connected_components(truss)
+
+
+def trussness(edges: DataFrame, max_rounds: int = 10000) -> DataFrame:
+    """Edge-level truss decomposition: trussness(e) = max k such that e
+    belongs to the k-truss — the truss analog of per-vertex ``coreness``
+    (which completes the degeneracy family the same way coreness
+    completes k-cores; cf. coreness.rs:183-264 for the single-k peel).
+
+    Algorithm: the k_truss_edges support peel run across ALL stages —
+    at stage k, cascade-drop edges supported by < k-2 surviving
+    triangles and label them k-1; when a stage's cascade dries, jump
+    directly to k = (min surviving support) + 3, the first stage where
+    anything can drop (intermediate stages are empty by construction, so
+    the jump changes no label and saves their driver rounds).  Supports
+    carry across stages — each edge's support is always its triangle
+    count within the CURRENT survivor graph, maintained exactly like
+    k_truss_edges: frontier-incremental decrements on sparse rounds
+    (distinct affected (x,y,z) triples, counted the round their first
+    edge drops), full O(m'^1.5) oriented recount on dense rounds.
+    Survivors shed by a dense recount (support fell to 0) are labeled
+    with the current stage too — they would drop on the stage's next
+    round anyway, and the stage, not the round, determines the label.
+
+    Returns DataFrame[src, dst, trussness] over every canonical edge
+    (triangle-free edges have trussness 2).
+    """
+    canon = canonical_undirected(edges)
+    canon = cut_lineage(canon)
+    state = _edge_support_full(canon)  # only support >= 1 rows
+    # edges in no triangle at all: trussness 2, settled without peeling
+    base2 = cut_lineage(
+        canon.join(state.select("src", "dst"), ["src", "dst"], "left_anti")
+        .select("src", "dst", F.lit(2).alias("trussness"))
+    )
+    release(canon)
+    labeled: list[DataFrame] = [base2]
+    n_edges = state.count()
+    k = 3
+    rounds = 0
+    while n_edges > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"trussness: not converged in {max_rounds} rounds")
+        drop = state.filter(F.col("support") < k - 2).select("src", "dst")
+        n_drop = drop.count()
+        if n_drop == 0:
+            # stage dry: jump to the first stage with any drop
+            min_sup = state.agg(F.min("support")).collect()[0][0]
+            k = int(min_sup) + 3
+            continue
+        labeled.append(
+            cut_lineage(drop.select(
+                "src", "dst", F.lit(k - 1).alias("trussness")
+            ))
+        )
+        drop = labeled[-1].select("src", "dst")
+        surviving = state.join(drop, ["src", "dst"], "left_anti")
+        n_surv = n_edges - n_drop
+        if n_drop * 4 > n_surv:
+            surv_edges = cut_lineage(surviving.select("src", "dst"))
+            new_state = _edge_support_full(surv_edges)
+            # shed support-0 survivors: same stage label (see docstring)
+            shed = cut_lineage(
+                surv_edges.join(
+                    new_state.select("src", "dst"), ["src", "dst"],
+                    "left_anti",
+                ).select("src", "dst", F.lit(k - 1).alias("trussness"))
+            )
+            labeled.append(shed)
+            release(surv_edges)
+        else:
+            sym_e = state.select("src", "dst").union(
+                state.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            d = drop.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+            e_u = sym_e.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+            e_w = sym_e.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+            tri = d.join(e_u, "u").join(e_w, ["w", "a"])
+            srt = F.array_sort(F.array("u", "w", "a"))
+            tri3 = tri.select(
+                srt.getItem(0).alias("x"),
+                srt.getItem(1).alias("y"),
+                srt.getItem(2).alias("z"),
+            ).distinct()
+            dec_edges = (
+                tri3.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+                .union(tri3.select(F.col("x").alias("src"), F.col("z").alias("dst")))
+                .union(tri3.select(F.col("y").alias("src"), F.col("z").alias("dst")))
+            )
+            dec = dec_edges.groupBy("src", "dst").agg(F.count("*").alias("dec"))
+            new_state = cut_lineage(
+                surviving.join(dec, ["src", "dst"], "left").select(
+                    "src",
+                    "dst",
+                    (F.col("support") - F.coalesce("dec", F.lit(0))).alias(
+                        "support"
+                    ),
+                )
+            )
+        release(state)
+        state = new_state
+        n_edges = state.count() if n_drop * 4 > n_surv else n_surv
+    out = base2.limit(0)
+    for leaf in labeled:
+        out = out.union(leaf)
+    result = cut_lineage(out)
+    release(state)
+    for leaf in labeled:
+        release(leaf)
+    return result

@@ -1523,3 +1523,16 @@ def ora_node2vec_walks(d: str, walks: int = 1, length: int = 4,
         [("start", "BIGINT"), ("walk", "INTEGER"), ("step", "INTEGER"),
          ("v", "BIGINT")],
     )
+
+
+def ora_trussness(d: str) -> str:
+    """Sequential truss-decomposition oracle for graph_trussness
+    (operators/coreness.py:trussness) over the small copurchase
+    subgraph."""
+    from .functions import kernels as K
+
+    t = K.trussness(_cp_small_adj(d))
+    rows = sorted((a, b, v) for (a, b), v in t.items())
+    return values_sql(
+        rows, [("src", "BIGINT"), ("dst", "BIGINT"), ("trussness", "INTEGER")]
+    )
