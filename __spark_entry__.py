@@ -810,6 +810,20 @@ def _q_trussness(spark, sf_dir):
     return trussness(cp_small_edges(spark, sf_dir))
 
 
+def _q_sssp_weighted(spark, sf_dir):
+    # weighted SSSP (frontier Bellman-Ford supersteps) on the weighted
+    # copurchase subgraph from its minimum vertex id; integer-valued
+    # weights => exact distances, hash-gateable
+    from dachshund_spark.operators.sssp import weighted_sssp
+
+    w = wcp_edges(spark, sf_dir)
+    sym = w.union(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    source = w.agg(F.min("src")).collect()[0][0]
+    return weighted_sssp(sym, source)
+
+
 def _q_node2vec_walks(spark, sf_dir):
     # second-order biased walks (node2vec p=2, q=0.5) on the small
     # copurchase subgraph — inverse-CDF md5 picks => hash-gateable
@@ -1544,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
         "graph_trussness": _q_trussness,
+        "graph_sssp_weighted": _q_sssp_weighted,
     }
 
 
@@ -2210,6 +2225,7 @@ FROM f"""
         d, walks=1, length=4, p=2.0, q=0.5, seed=0
     )
     sql["graph_trussness"] = O.ora_trussness(d)
+    sql["graph_sssp_weighted"] = O.ora_sssp_weighted(d)
     sql["events_user_sample"] = """
 SELECT user_id, event_id, sample_rank FROM (
   SELECT user_id, event_id,

@@ -1484,3 +1484,33 @@ def trussness(adj):
                 if e in remaining:
                     sup[e] -= 1
     return out
+
+
+def bellman_ford_rounds(weighted_edges, source):
+    """Sequential round-synchronous mirror of
+    operators/sssp.py:weighted_sssp: dist = min total weight from the
+    source, hops = the round the label-correcting fixpoint last improved
+    the vertex (= edge count of the minimum-hop optimal path).  Input is
+    a directed (src, dst, weight) triple list; pass both directions for
+    undirected graphs.  Returns {v: (dist, hops)}."""
+    adj = {}
+    for s, t, w in weighted_edges:
+        adj.setdefault(s, []).append((t, float(w)))
+    state = {source: (0.0, 0)}
+    frontier = {source}
+    rnd = 0
+    while frontier:
+        rnd += 1
+        best = {}
+        for u in frontier:
+            du = state[u][0]
+            for t, w in adj.get(u, ()):
+                cand = du + w
+                if t not in best or cand < best[t]:
+                    best[t] = cand
+        frontier = set()
+        for v, cand in best.items():
+            if v not in state or cand < state[v][0]:
+                state[v] = (cand, rnd)
+                frontier.add(v)
+    return state

@@ -1536,3 +1536,21 @@ def ora_trussness(d: str) -> str:
     return values_sql(
         rows, [("src", "BIGINT"), ("dst", "BIGINT"), ("trussness", "INTEGER")]
     )
+
+
+def ora_sssp_weighted(d: str) -> str:
+    """Sequential Bellman-Ford oracle for graph_sssp_weighted
+    (operators/sssp.py): kernels.bellman_ford_rounds mirrors the
+    round-synchronous relaxation exactly, so dist AND hops (the round a
+    vertex's label was finalized) match the distributed output.
+    Integer-valued weights make every distance exact in double."""
+    from .functions import kernels as K
+
+    triples = [(s, t, float(w)) for s, t, w in wcp_edges(d)]
+    sym = triples + [(t, s, w) for s, t, w in triples]
+    source = min(s for s, _, _ in triples)
+    state = K.bellman_ford_rounds(sym, source)
+    rows = sorted((v, dist, hops) for v, (dist, hops) in state.items())
+    return values_sql(
+        rows, [("v", "BIGINT"), ("dist", "DOUBLE"), ("hops", "INTEGER")]
+    )
