@@ -824,6 +824,19 @@ def _q_sssp_weighted(spark, sf_dir):
     return weighted_sssp(sym, source)
 
 
+def _q_butterfly_topk(spark, sf_dir):
+    # bipartite butterfly (K2,2) counts per part over the order/part
+    # incidence (parts <= 500), deterministic top-20 head
+    from dachshund_spark.operators.butterflies import butterfly_per_vertex
+
+    inc = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") <= CP_SMALL_MAX
+    )
+    return butterfly_per_vertex(
+        inc, pivot="l_orderkey", side="l_partkey", top_k=20
+    )
+
+
 def _q_node2vec_walks(spark, sf_dir):
     # second-order biased walks (node2vec p=2, q=0.5) on the small
     # copurchase subgraph — inverse-CDF md5 picks => hash-gateable
@@ -1559,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_sample": _q_user_sample,
         "graph_trussness": _q_trussness,
         "graph_sssp_weighted": _q_sssp_weighted,
+        "graph_butterfly_topk": _q_butterfly_topk,
     }
 
 
@@ -2226,6 +2240,28 @@ FROM f"""
     )
     sql["graph_trussness"] = O.ora_trussness(d)
     sql["graph_sssp_weighted"] = O.ora_sssp_weighted(d)
+    sql["graph_butterfly_topk"] = """
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+  FROM lineitem WHERE l_partkey <= 500
+),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c
+  FROM inc a JOIN inc b ON a.g = b.g AND a.p < b.p
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT v, CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS butterflies
+  FROM (SELECT p1 AS v, c FROM pairs UNION ALL SELECT p2 AS v, c FROM pairs)
+  GROUP BY v
+  HAVING CAST(SUM(c * (c - 1)) // 2 AS BIGINT) > 0
+)
+SELECT v, butterflies FROM (
+  SELECT v, butterflies,
+         ROW_NUMBER() OVER (ORDER BY butterflies DESC, v) AS rn
+  FROM per
+) WHERE rn <= 20
+"""
     sql["events_user_sample"] = """
 SELECT user_id, event_id, sample_rank FROM (
   SELECT user_id, event_id,
