@@ -151,6 +151,29 @@ def user_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.join(ev, "src").select("graph_id", "src", "dst")
 
 
+def user_cyclic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(graph_id, src, dst): in-day succession chain UNION in-day
+    same-type succession — the type chords put cycles over the chains,
+    so per-user biconnectivity (cut vertices / bridges) is non-trivial."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("day"),
+        "ts", "event_type",
+    )
+    w1 = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id", "day", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    legs = [
+        ev.select(
+            F.col("user_id").alias("graph_id"),
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+        )
+        for w in (w1, w2)
+    ]
+    return legs[0].union(legs[1]).filter(F.col("dst").isNotNull())
+
+
 def user_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(graph_id, src, dst, weight): weight = seconds between the two
     events of each succession edge."""
@@ -521,6 +544,15 @@ def _q_brokerage_per_user(spark, sf_dir):
     return brokerage_per_graph(
         user_graph_edges(spark, sf_dir), ModMembership(4)
     )
+
+
+def _q_biconnectivity_per_user(spark, sf_dir):
+    # articulation points + bridge incidence per user graph (Tarjan
+    # lowlink kernel under applyInPandas); the cyclic fixture keeps both
+    # signals non-degenerate
+    from dachshund_spark.operators.pergraph import biconnectivity_per_graph
+
+    return biconnectivity_per_graph(user_cyclic_edges(spark, sf_dir))
 
 
 def _q_weighted_core_miner_per_user(spark, sf_dir):
@@ -1573,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trussness": _q_trussness,
         "graph_sssp_weighted": _q_sssp_weighted,
         "graph_butterfly_topk": _q_butterfly_topk,
+        "graph_biconnectivity_per_user": _q_biconnectivity_per_user,
     }
 
 
@@ -2280,6 +2313,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["graph_kpeaks_per_user"] = O.ora_kpeaks_per_user(d)
     sql["graph_cnm_per_user"] = O.ora_cnm_per_user(d)
     sql["graph_brokerage_per_user"] = O.ora_brokerage_per_user(d)
+    sql["graph_biconnectivity_per_user"] = O.ora_biconnectivity_per_user(d)
     sql["graph_weighted_core_miner_per_user"] = (
         O.ora_weighted_core_miner_per_user(d)
     )

@@ -1514,3 +1514,60 @@ def bellman_ford_rounds(weighted_edges, source):
                 state[v] = (cand, rnd)
                 frontier.add(v)
     return state
+
+
+# ---------------------------------------------------------------------------
+# Biconnectivity: articulation points + bridges (Tarjan/Hopcroft lowlink).
+# The reference's connectivity family (connectivity.rs:22-83,
+# connected_components.rs:26-76) answers "is it connected"; the natural
+# next question for a link graph is "where does connectivity HINGE" —
+# which vertices / edges are single points of failure.  Iterative DFS so
+# 10^5-node per-graph batches don't hit Python's recursion limit.
+
+
+def cut_vertices_and_bridges(adj):
+    """Undirected {node: set(neighbors)} -> (articulation_points: set,
+    bridges: set of (min, max) edges).  Self-loops are ignored (a
+    self-loop is never a bridge and never makes its vertex a cut
+    vertex).  Simple-graph input (build_undirected_adj dedups), so the
+    one-parent-skip per DFS child is exact — no parallel edges."""
+    disc: dict = {}
+    low: dict = {}
+    cuts: set = set()
+    bridges: set = set()
+    timer = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        root_children = 0
+        # stack frames: (v, parent, iterator over neighbors)
+        disc[root] = low[root] = timer
+        timer += 1
+        stack = [(root, None, iter(sorted(adj[root])))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == v or w == parent:
+                    continue  # self-loop / the tree edge back to parent
+                if w in disc:
+                    low[v] = min(low[v], disc[w])  # back edge
+                    continue
+                disc[w] = low[w] = timer
+                timer += 1
+                if v == root:
+                    root_children += 1
+                stack.append((w, v, iter(sorted(adj[w]))))
+                advanced = True
+                break
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] > disc[parent]:
+                        bridges.add((min(parent, v), max(parent, v)))
+                    if parent != root and low[v] >= disc[parent]:
+                        cuts.add(parent)
+        if root_children >= 2:
+            cuts.add(root)
+    return cuts, bridges

@@ -414,3 +414,37 @@ def brokerage_per_graph(
         " gatekeeper int, representative int, liaison int,"
         " total_open_twopaths int",
     )
+
+
+def biconnectivity_per_graph(
+    edges: DataFrame, graph_col: str = GRAPH_COL
+) -> DataFrame:
+    """Articulation points + bridge incidence per node, per graph
+    (kernels.cut_vertices_and_bridges — Tarjan lowlink).  Extends the
+    reference's connectivity family (connectivity.rs:22-83) from "is it
+    connected" to "where does connectivity hinge".
+
+    Returns DataFrame[graph_id, node, is_cut, bridge_count] — one row per
+    vertex; ``bridge_count`` = number of incident bridge edges."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[graph_col].iloc[0]
+        adj = K.build_undirected_adj(
+            list(zip(pdf["src"].astype("int64"), pdf["dst"].astype("int64")))
+        )
+        cuts, bridges = K.cut_vertices_and_bridges(adj)
+        binc: dict = {}
+        for a, b in bridges:
+            binc[a] = binc.get(a, 0) + 1
+            binc[b] = binc.get(b, 0) + 1
+        recs = [
+            (gid, n, n in cuts, binc.get(n, 0)) for n in sorted(adj)
+        ]
+        return pd.DataFrame(
+            recs, columns=[graph_col, "node", "is_cut", "bridge_count"]
+        )
+
+    return edges.groupBy(graph_col).applyInPandas(
+        fn,
+        f"{graph_col} long, node long, is_cut boolean, bridge_count int",
+    )

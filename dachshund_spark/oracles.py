@@ -1554,3 +1554,57 @@ def ora_sssp_weighted(d: str) -> str:
     return values_sql(
         rows, [("v", "BIGINT"), ("dist", "DOUBLE"), ("hops", "INTEGER")]
     )
+
+
+# in-day succession chain UNION in-day same-type succession: chords over
+# the per-user chains create cycles, so biconnectivity is non-trivial
+# (pure chains would make every internal vertex a cut vertex)
+_USER_CYCLIC_Q = """
+SELECT user_id AS graph_id, src, dst FROM (
+  SELECT user_id, event_id AS src, lead(event_id) OVER w AS dst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id)
+) WHERE dst IS NOT NULL
+UNION ALL
+SELECT user_id AS graph_id, src, dst FROM (
+  SELECT user_id, event_id AS src, lead(event_id) OVER w2 AS dst
+  FROM events
+  WINDOW w2 AS (PARTITION BY user_id, date_trunc('day', ts), event_type
+                ORDER BY ts, event_id)
+) WHERE dst IS NOT NULL
+"""
+
+
+@lru_cache(maxsize=4)
+def user_cyclic_edges(d: str) -> tuple:
+    return tuple(_con(d).execute(_USER_CYCLIC_Q).fetchall())
+
+
+def ora_biconnectivity_per_user(d: str) -> str:
+    """Kernel mirror of pergraph.biconnectivity_per_graph over the cyclic
+    per-user fixture (Tarjan articulation points + bridges)."""
+    from .functions import kernels as K
+
+    groups: dict[int, list] = {}
+    for gid, s, t in user_cyclic_edges(d):
+        groups.setdefault(gid, []).append((s, t))
+    rows = []
+    for gid, es in sorted(groups.items()):
+        adj = K.build_undirected_adj(es)
+        cuts, bridges = K.cut_vertices_and_bridges(adj)
+        binc: dict = {}
+        for a, b in bridges:
+            binc[a] = binc.get(a, 0) + 1
+            binc[b] = binc.get(b, 0) + 1
+        for n in sorted(adj):
+            rows.append((gid, n, n in cuts, binc.get(n, 0)))
+    return values_sql(
+        rows,
+        [
+            ("graph_id", "BIGINT"),
+            ("node", "BIGINT"),
+            ("is_cut", "BOOLEAN"),
+            ("bridge_count", "INTEGER"),
+        ],
+    )

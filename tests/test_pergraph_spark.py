@@ -169,3 +169,68 @@ def test_spectral_per_graph(spark):
     assert abs(got[1]["algebraic_connectivity"] - 0.469) < 0.001
     assert got[1]["n_nodes"] == 34 and got[1]["n_edges"] == 78
     assert abs(got[2]["algebraic_connectivity"]) < 1e-9
+
+
+def test_biconnectivity_kernel_brute_force():
+    """cut_vertices_and_bridges vs exhaustive remove-and-recount on 150
+    seeded random multigraphs (self-loops included)."""
+    import random
+
+    def comps(adj, skip_v=None, skip_e=None):
+        seen, n = set(), 0
+        for s in adj:
+            if s == skip_v or s in seen:
+                continue
+            n += 1
+            st = [s]
+            seen.add(s)
+            while st:
+                u = st.pop()
+                for w in adj[u]:
+                    if w in (u, skip_v) or w in seen:
+                        continue
+                    if skip_e and (min(u, w), max(u, w)) == skip_e:
+                        continue
+                    seen.add(w)
+                    st.append(w)
+        return n
+
+    rng = random.Random(42)
+    for _ in range(150):
+        n = rng.randint(2, 12)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 18))
+        ]
+        adj = K.build_undirected_adj(edges)
+        cuts, bridges = K.cut_vertices_and_bridges(adj)
+        base = comps(adj)
+        want_cuts = {
+            v
+            for v in adj
+            if not set(adj[v]) <= {v} and comps(adj, skip_v=v) > base
+        }
+        es = {(min(u, w), max(u, w)) for u in adj for w in adj[u] if u != w}
+        want_bridges = {e for e in es if comps(adj, skip_e=e) > base}
+        assert cuts == want_cuts
+        assert bridges == want_bridges
+
+
+def test_biconnectivity_per_graph(spark):
+    """Distributed per-graph output == kernel on a mixed fixture:
+    triangle+pendant (cut 3, bridge 3-4), a pure path, and a cycle."""
+    rows = (
+        [(1, 1, 2), (1, 2, 3), (1, 1, 3), (1, 3, 4)]
+        + [(2, 10, 11), (2, 11, 12)]
+        + [(3, 20, 21), (3, 21, 22), (3, 22, 20)]
+    )
+    df = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    got = {
+        (r["graph_id"], r["node"]): (r["is_cut"], r["bridge_count"])
+        for r in PG.biconnectivity_per_graph(df).collect()
+    }
+    assert got[(1, 3)] == (True, 1) and got[(1, 4)] == (False, 1)
+    assert got[(1, 1)] == (False, 0) and got[(1, 2)] == (False, 0)
+    assert got[(2, 11)] == (True, 2)
+    assert got[(2, 10)] == (False, 1) and got[(2, 12)] == (False, 1)
+    assert all(got[(3, v)] == (False, 0) for v in (20, 21, 22))
