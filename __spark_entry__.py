@@ -546,6 +546,36 @@ def _q_brokerage_per_user(spark, sf_dir):
     )
 
 
+def _q_jp_coloring(spark, sf_dir):
+    # Jones-Plassmann greedy coloring over the undirected page-link graph
+    # (synthesize -> extract -> edges -> page-number ids); the fixed md5
+    # priority makes the "randomized" algorithm hash-gateable.  The sparse
+    # web graph keeps the JP dependency depth ~30-50 rounds (the dense
+    # co-purchase graph is near-sequential: 200 vertices -> 104 rounds)
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.coloring import jp_coloring
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+        url_dim,
+    )
+
+    n = host_graph_pages(sf_dir)
+    pages = synthesize_pages(spark, n_pages=n, n_sites=53, n_hubs=16, seed=7)
+    e = edges_from_extracted(extract(pages))
+    dim = url_dim(pages).select(
+        "v",
+        F.regexp_extract("url", r"page(\d+)$", 1).cast("long").alias("page"),
+    )
+    e = (
+        e.join(dim.select(F.col("v").alias("src"), F.col("page").alias("ps")), "src")
+        .join(dim.select(F.col("v").alias("dst"), F.col("page").alias("pd")), "dst")
+        .select(F.col("ps").alias("src"), F.col("pd").alias("dst"))
+    )
+    return jp_coloring(e, seed=0)
+
+
 def _q_biconnectivity_per_user(spark, sf_dir):
     # articulation points + bridge incidence per user graph (Tarjan
     # lowlink kernel under applyInPandas); the cyclic fixture keeps both
@@ -1606,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_weighted": _q_sssp_weighted,
         "graph_butterfly_topk": _q_butterfly_topk,
         "graph_biconnectivity_per_user": _q_biconnectivity_per_user,
+        "graph_jp_coloring": _q_jp_coloring,
     }
 
 
@@ -2314,6 +2345,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["graph_cnm_per_user"] = O.ora_cnm_per_user(d)
     sql["graph_brokerage_per_user"] = O.ora_brokerage_per_user(d)
     sql["graph_biconnectivity_per_user"] = O.ora_biconnectivity_per_user(d)
+    sql["graph_jp_coloring"] = O.ora_jp_coloring(d)
     sql["graph_weighted_core_miner_per_user"] = (
         O.ora_weighted_core_miner_per_user(d)
     )

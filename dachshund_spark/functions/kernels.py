@@ -1571,3 +1571,37 @@ def cut_vertices_and_bridges(adj):
         if root_children >= 2:
             cuts.add(root)
     return cuts, bridges
+
+
+def jp_coloring(adj, seed=0):
+    """Sequential mirror of operators/coloring.py:jp_coloring — same fixed
+    md5 priority order, same round structure, so colors AND rounds match
+    the distributed output exactly.  Self-loops are ignored.  Returns
+    {v: (color, jp_round)}."""
+    import hashlib
+
+    nbrs = {v: {n for n in ns if n != v} for v, ns in adj.items()}
+    pri = {
+        v: (hashlib.md5(f"{seed}:{v}".encode()).hexdigest(), v)
+        for v in nbrs
+    }
+    active = set(nbrs)
+    out = {}
+    rnd = 0
+    while active:
+        winners = {
+            v
+            for v in active
+            if all(pri[v] < pri[u] for u in nbrs[v] if u in active)
+        }
+        # adjacent vertices never both win, so coloring winners in any
+        # order within the round is conflict-free
+        for v in winners:
+            used = {out[u][0] for u in nbrs[v] if u in out}
+            c = 0
+            while c in used:
+                c += 1
+            out[v] = (c, rnd)
+        active -= winners
+        rnd += 1
+    return out

@@ -1608,3 +1608,23 @@ def ora_biconnectivity_per_user(d: str) -> str:
             ("bridge_count", "INTEGER"),
         ],
     )
+
+
+def ora_jp_coloring(d: str, seed: int = 0) -> str:
+    """Kernel mirror of operators/coloring.py over the undirected
+    page-link graph (page_targets arithmetic = the byte-identical
+    extraction invariant): the unique Jones-Plassmann coloring under the
+    seeded md5 priority."""
+    from .functions import kernels as K
+
+    n = host_graph_pages(d)
+    edges = []
+    for i in range(n):
+        for t in page_targets(i, n):
+            edges.append((i, t))
+    col = K.jp_coloring(K.build_undirected_adj(edges), seed)
+    rows = sorted((v, c, r) for v, (c, r) in col.items())
+    return values_sql(
+        rows,
+        [("v", "BIGINT"), ("color", "INTEGER"), ("jp_round", "INTEGER")],
+    )
