@@ -576,6 +576,124 @@ def _q_jp_coloring(spark, sf_dir):
     return jp_coloring(e, seed=0)
 
 
+def _q_spam_mass(spark, sf_dir):
+    # relative spam mass (Gyongyi et al., "Link spam detection based on
+    # mass estimation", VLDB'06): how much of a host's PageRank is NOT
+    # backed by trusted seeds — (pr - trustrank) / pr over the weighted
+    # host graph.  Composes the two gated rank queries; the ratio is
+    # taken from the ROUNDED ranks so both engines divide identical
+    # doubles (the anf nf discipline)
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.pagerank import pagerank
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import host_graph, synthesize_pages
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    hg = host_graph(extract(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("links").alias("weight"),
+    )
+    hg = hg.persist()
+    seeds = spark.createDataFrame(
+        [(f"site{i}.test",) for i in range(16)], "v string"
+    )
+    pr = pagerank(hg, tol=0.0, max_iter=5, weight_col="weight")
+    tr = pagerank(hg, tol=0.0, max_iter=5, weight_col="weight", teleport=seeds)
+    j = (
+        pr.select("v", F.round("pagerank", 6).alias("host_rank"))
+        .join(tr.select("v", F.round("pagerank", 6).alias("trust_rank")), "v")
+    )
+    out = j.select(
+        F.col("v").alias("host"),
+        "host_rank",
+        "trust_rank",
+        # + 0.0 folds a possible -0.0 (round of a tiny negative mass)
+        # to +0.0 on both sides — the signed-zero gate hazard
+        (
+            F.round(
+                (F.col("host_rank") - F.col("trust_rank"))
+                / F.col("host_rank"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rel_spam_mass"),
+    )
+    hg.unpersist()
+    return out
+
+
+def _q_value_percentiles(spark, sf_dir):
+    # exact interpolated percentiles of the value column per event type
+    # (Spark `percentile` == DuckDB `quantile_cont`: both are the linear
+    # R-7 estimator, so the gate is exact after 6dp rounding)
+    ev = _t(spark, sf_dir, "events")
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    aggs = [F.count("*").alias("n")] + [
+        F.round(F.expr(f"percentile(value, {q})"), 6).alias(a)
+        for a, q in qs.items()
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+def _q_url_dedup(spark, sf_dir):
+    # url-keyed dedup after syntax canonicalization (RFC 3986 §6 +
+    # utm_* strip): deterministic variants of every page url — uppercased
+    # scheme/host, :443 default port, #fragment, utm query params —
+    # must collapse back onto the base url.  The whole pass is codegen'd
+    # regexp expressions (functions/urls.py)
+    from dachshund_spark.functions.urls import canonicalize_url
+    from dachshund_spark.oracles import host_graph_pages
+
+    n = host_graph_pages(sf_dir)
+    base = spark.range(0, n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("https://site"),
+            F.pmod("id", F.lit(53)).cast("string"),
+            F.lit(".test/page"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    variants = base.select("url").unionAll(
+        base.filter(F.col("id") % 2 == 0).select(
+            F.concat(
+                F.lit("HTTPS://SITE"),
+                F.pmod("id", F.lit(53)).cast("string"),
+                F.lit(".TEST/page"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+    ).unionAll(
+        base.filter(F.col("id") % 3 == 0).select(
+            F.concat("url", F.lit("?utm_source=feed&utm_campaign=sync"))
+            .alias("url")
+        )
+    ).unionAll(
+        base.filter(F.col("id") % 5 == 0).select(
+            F.concat("url", F.lit("#section-"), F.col("id").cast("string"))
+            .alias("url")
+        )
+    ).unionAll(
+        base.filter(F.col("id") % 7 == 0).select(
+            F.concat(
+                F.lit("https://site"),
+                F.pmod("id", F.lit(53)).cast("string"),
+                F.lit(".test:443/page"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+    )
+    return (
+        variants.select(canonicalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
 def _q_biconnectivity_per_user(spark, sf_dir):
     # articulation points + bridge incidence per user graph (Tarjan
     # lowlink kernel under applyInPandas); the cyclic fixture keeps both
@@ -1637,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterfly_topk": _q_butterfly_topk,
         "graph_biconnectivity_per_user": _q_biconnectivity_per_user,
         "graph_jp_coloring": _q_jp_coloring,
+        "web_url_dedup": _q_url_dedup,
+        "web_spam_mass": _q_spam_mass,
+        "events_value_percentiles": _q_value_percentiles,
     }
 
 
@@ -2346,6 +2467,16 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["graph_brokerage_per_user"] = O.ora_brokerage_per_user(d)
     sql["graph_biconnectivity_per_user"] = O.ora_biconnectivity_per_user(d)
     sql["graph_jp_coloring"] = O.ora_jp_coloring(d)
+    sql["web_url_dedup"] = O.ora_url_dedup(d)
+    sql["web_spam_mass"] = O.ora_spam_mass(d)
+    sql["events_value_percentiles"] = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
     sql["graph_weighted_core_miner_per_user"] = (
         O.ora_weighted_core_miner_per_user(d)
     )

@@ -1628,3 +1628,108 @@ def ora_jp_coloring(d: str, seed: int = 0) -> str:
         rows,
         [("v", "BIGINT"), ("color", "INTEGER"), ("jp_round", "INTEGER")],
     )
+
+
+def ora_url_dedup(d: str) -> str:
+    """DuckDB mirror of _q_url_dedup: same deterministic variant
+    generation, same canonicalization steps expressed in RE2 (no
+    lookahead, so the default-port rule anchors on the '/' that every
+    generated variant has)."""
+    n = host_graph_pages(d)
+    return f"""
+WITH ids AS (SELECT range AS i FROM range(0, {n})),
+base AS (
+  SELECT i, 'https://site' || (i % 53) || '.test/page' || i AS url FROM ids
+),
+variants AS (
+  SELECT url FROM base
+  UNION ALL
+  SELECT 'HTTPS://SITE' || (i % 53) || '.TEST/page' || i
+  FROM base WHERE i % 2 = 0
+  UNION ALL
+  SELECT url || '?utm_source=feed&utm_campaign=sync'
+  FROM base WHERE i % 3 = 0
+  UNION ALL
+  SELECT url || '#section-' || i FROM base WHERE i % 5 = 0
+  UNION ALL
+  SELECT 'https://site' || (i % 53) || '.test:443/page' || i
+  FROM base WHERE i % 7 = 0
+),
+canon AS (
+  SELECT regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+            || regexp_replace(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+            '^(https://[^/:?#]+):443/', '\\1/'),
+          '#.*$', ''),
+        'utm_[^&#]*&', '', 'g'),
+      '[?&]utm_[^&#]*$', ''),
+    '\\?$', '') AS canonical_url
+  FROM variants
+)
+SELECT canonical_url, count(*) AS n_variants FROM canon GROUP BY 1"""
+
+
+def ora_spam_mass(d: str, iters: int = 5, n_seeds: int = 16) -> str:
+    """Both rank chains (ora_host_rank + ora_host_trustrank) in one
+    query; relative spam mass divides the ROUNDED ranks so both engines
+    divide identical doubles, and + 0.0 folds signed zero."""
+    rows = host_rollup_rows(host_graph_pages(d))
+    hedges = ",\n".join(f"('{sh}', '{dh}', {c})" for sh, dh, c, _ in rows)
+    seeds = ",".join(f"('site{i}.test')" for i in range(n_seeds))
+    pr_it = """
+pr{k} AS (
+  SELECT verts.v, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.m, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT he.dst AS v, sum(pr{j}.r * (he.w / outw.d)) AS m
+    FROM hedges he JOIN pr{j} ON he.src = pr{j}.v
+                   JOIN outw ON he.src = outw.src
+    GROUP BY he.dst
+  ) s ON verts.v = s.v
+)"""
+    tr_it = """
+tr{k} AS (
+  SELECT verts.v,
+         0.15 * coalesce(sd.p, 0) + 0.85 * coalesce(s.m, 0) AS r
+  FROM verts
+  LEFT JOIN seedp sd ON verts.v = sd.v
+  LEFT JOIN (
+    SELECT he.dst AS v, sum(tr{j}.r * (he.w / outw.d)) AS m
+    FROM hedges he JOIN tr{j} ON he.src = tr{j}.v
+                   JOIN outw ON he.src = outw.src
+    GROUP BY he.dst
+  ) s ON verts.v = s.v
+)"""
+    chain = ",".join(
+        pr_it.format(k=k, j=k - 1) for k in range(1, iters + 1)
+    ) + "," + ",".join(
+        tr_it.format(k=k, j=k - 1) for k in range(1, iters + 1)
+    )
+    return f"""
+WITH hedges(src, dst, w) AS (VALUES
+{hedges}
+),
+verts AS (SELECT DISTINCT v FROM (
+  SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+n AS (SELECT count(*) AS c FROM verts),
+outw AS (SELECT src, sum(w) AS d FROM hedges GROUP BY src),
+seeds(v) AS (VALUES {seeds}),
+seedp AS (SELECT v, 1.0 / {n_seeds} AS p FROM seeds),
+pr0 AS (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM verts),
+tr0 AS (SELECT verts.v, coalesce(sd.p, 0) AS r
+        FROM verts LEFT JOIN seedp sd ON verts.v = sd.v),
+{chain},
+ranks AS (
+  SELECT pr{iters}.v, round(pr{iters}.r, 6) AS host_rank,
+         round(tr{iters}.r, 6) AS trust_rank
+  FROM pr{iters} JOIN tr{iters} ON pr{iters}.v = tr{iters}.v
+)
+SELECT v AS host, host_rank, trust_rank,
+       round((host_rank - trust_rank) / host_rank, 6) + 0.0
+         AS rel_spam_mass
+FROM ranks"""

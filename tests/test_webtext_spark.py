@@ -786,3 +786,29 @@ def test_top_ngrams(spark):
         for r in T.top_ngrams(docs, n=3, k=10).collect()
     }
     assert tri == {"a b a": 1, "b a b": 1, "a b c": 1, "a b x": 1}
+
+
+def test_canonicalize_url_rules(spark):
+    """RFC 3986 syntax normalization + utm strip, including shapes the
+    gate fixture doesn't generate: http :80, mixed utm/non-utm params,
+    utm-only query with fragment, already-canonical passthrough."""
+    from dachshund_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("https://site0.test/page1", "https://site0.test/page1"),
+        ("HTTPS://SITE0.TEST/Page1", "https://site0.test/Page1"),
+        ("http://Host.test:80/a?x=1", "http://host.test/a?x=1"),
+        ("https://h.test:443/a#f", "https://h.test/a"),
+        ("https://h.test:8080/a", "https://h.test:8080/a"),
+        ("https://h.test/a?utm_source=x", "https://h.test/a"),
+        ("https://h.test/a?utm_a=1&utm_b=2", "https://h.test/a"),
+        ("https://h.test/a?utm_a=1&x=2", "https://h.test/a?x=2"),
+        ("https://h.test/a?x=2&utm_a=1", "https://h.test/a?x=2"),
+        ("https://h.test/a?utm_a=1#frag", "https://h.test/a"),
+        ("https://h.test/a?x=1&utm_a=1&y=2", "https://h.test/a?x=1&y=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
