@@ -576,6 +576,17 @@ def _q_jp_coloring(spark, sf_dir):
     return jp_coloring(e, seed=0)
 
 
+def _q_kmeans_assignments(spark, sf_dir):
+    # distributed Lloyd's over EVERY embedding (the IVF queries train on
+    # a driver-side sample; this is the full-corpus scale path) — exact
+    # integer micro-unit arithmetic makes it hash-gateable
+    from dachshund_spark.operators.kmeans import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=5, seed=0
+    )
+
+
 def _q_spam_mass(spark, sf_dir):
     # relative spam mass (Gyongyi et al., "Link spam detection based on
     # mass estimation", VLDB'06): how much of a host's PageRank is NOT
@@ -1758,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _q_url_dedup,
         "web_spam_mass": _q_spam_mass,
         "events_value_percentiles": _q_value_percentiles,
+        "emb_kmeans_assignments": _q_kmeans_assignments,
     }
 
 
@@ -2469,6 +2481,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["graph_jp_coloring"] = O.ora_jp_coloring(d)
     sql["web_url_dedup"] = O.ora_url_dedup(d)
     sql["web_spam_mass"] = O.ora_spam_mass(d)
+    sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
     sql["events_value_percentiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS p25,

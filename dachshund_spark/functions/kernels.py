@@ -1605,3 +1605,52 @@ def jp_coloring(adj, seed=0):
         active -= winners
         rnd += 1
     return out
+
+
+def kmeans_lloyd_int(vectors, k=8, iters=5, seed=0):
+    """Sequential mirror of operators/kmeans.py:kmeans_lloyd — same
+    micro-unit quantization, same seeded init, same truncated integer
+    centroid division, so assignments match the distributed output
+    exactly.  ``vectors``: {id: list[float]}.  Returns {id: cluster}."""
+    import hashlib
+    import math
+
+    ids = sorted(vectors)
+    q = {
+        i: [int(math.floor(float(x) * 1e6 + 0.5)) for x in vectors[i]]
+        for i in ids
+    }
+    ranked = sorted(
+        ids,
+        key=lambda i: (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i),
+    )
+    cents = [list(q[i]) for i in ranked[:k]]
+
+    def trunc_div(s, n):
+        d = abs(s) // n
+        return d if s >= 0 else -d
+
+    def assign_all():
+        out = {}
+        for i in ids:
+            x = q[i]
+            best = None
+            for c, cv in enumerate(cents):
+                d2 = sum((xa - ca) * (xa - ca) for xa, ca in zip(x, cv))
+                if best is None or d2 < best[0]:
+                    best = (d2, c)
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign_all()
+        for c in range(len(cents)):
+            members = [q[i] for i in ids if a[i] == c]
+            if not members:
+                continue  # empty cluster keeps its centroid
+            n = len(members)
+            cents[c] = [
+                trunc_div(sum(m[d] for m in members), n)
+                for d in range(len(cents[c]))
+            ]
+    return assign_all()

@@ -1733,3 +1733,19 @@ SELECT v AS host, host_rank, trust_rank,
        round((host_rank - trust_rank) / host_rank, 6) + 0.0
          AS rel_spam_mass
 FROM ranks"""
+
+
+def ora_kmeans_assignments(d: str, k: int = 8, iters: int = 5,
+                           seed: int = 0) -> str:
+    """Kernel mirror of operators/kmeans.py over the embeddings table."""
+    from .functions import kernels as K
+
+    vecs = {
+        i: list(v)
+        for i, v in _con(d).execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    a = K.kmeans_lloyd_int(vecs, k=k, iters=iters, seed=seed)
+    rows = sorted(a.items())
+    return values_sql(rows, [("vec_id", "BIGINT"), ("cluster", "INTEGER")])
