@@ -587,6 +587,50 @@ def _q_kmeans_assignments(spark, sf_dir):
     )
 
 
+def _pii_fixture(spark, n):
+    # deterministic PII-laced corpus: email on even ids, phone on i%3==0,
+    # IPv4 on i%5==0 — pure concat/modulo arithmetic so the DuckDB oracle
+    # regenerates the exact bytes (the url_dedup fixture discipline)
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit(" contact user"), s(i), F.lit("@mail"), s(i % 7),
+            F.lit(".example for details"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit(" call 555-"), s(i % 900 + 100), F.lit("-"),
+            s(i % 9000 + 1000), F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 5 == 0,
+        F.concat(
+            F.lit(" server 10."), s(i % 256), F.lit("."),
+            s((i * 7) % 256), F.lit("."), s((i * 13) % 256), F.lit(" up"),
+        ),
+    ).otherwise(F.lit(""))
+    return spark.range(0, n).select(
+        i.alias("doc_id"),
+        F.concat(F.lit("doc "), s(i), email, phone, ip).alias("text"),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    # PII scrub pass (emails/phones/IPv4 -> typed tags): pure codegen'd
+    # regexp expressions, mapper-only, no shuffle — the pre-tokenization
+    # scrub an LLM data pipeline runs over every document
+    from dachshund_spark.functions.pii import pii_stats
+    from dachshund_spark.oracles import host_graph_pages
+
+    docs = _pii_fixture(spark, host_graph_pages(sf_dir))
+    return pii_stats(docs)
+
+
 def _q_spam_mass(spark, sf_dir):
     # relative spam mass (Gyongyi et al., "Link spam detection based on
     # mass estimation", VLDB'06): how much of a host's PageRank is NOT
@@ -1770,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_spam_mass": _q_spam_mass,
         "events_value_percentiles": _q_value_percentiles,
         "emb_kmeans_assignments": _q_kmeans_assignments,
+        "doc_pii_redaction": _q_pii_redaction,
     }
 
 
@@ -2482,6 +2527,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["web_url_dedup"] = O.ora_url_dedup(d)
     sql["web_spam_mass"] = O.ora_spam_mass(d)
     sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
+    sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
     sql["events_value_percentiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS p25,

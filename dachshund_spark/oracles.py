@@ -1749,3 +1749,40 @@ def ora_kmeans_assignments(d: str, k: int = 8, iters: int = 5,
     a = K.kmeans_lloyd_int(vecs, k=k, iters=iters, seed=seed)
     rows = sorted(a.items())
     return values_sql(rows, [("vec_id", "BIGINT"), ("cluster", "INTEGER")])
+
+
+def ora_pii_redaction(d: str) -> str:
+    """Pure-SQL DuckDB mirror of _q_pii_redaction: same arithmetic
+    fixture, same regexes (the pattern class is chosen to mean the same
+    thing in RE2 and Java regex — see functions/pii.py), same
+    email -> phone -> ipv4 replacement order."""
+    n = host_graph_pages(d)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}-\d{3}-\d{4}"
+    ipv4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    return f"""
+WITH ids AS (SELECT range AS i FROM range(0, {n})),
+docs AS (
+  SELECT i AS doc_id,
+         'doc ' || i
+         || CASE WHEN i % 2 = 0 THEN ' contact user' || i || '@mail'
+                 || (i % 7) || '.example for details' ELSE '' END
+         || CASE WHEN i % 3 = 0 THEN ' call 555-' || (i % 900 + 100)
+                 || '-' || (i % 9000 + 1000) || ' now' ELSE '' END
+         || CASE WHEN i % 5 = 0 THEN ' server 10.' || (i % 256) || '.'
+                 || ((i * 7) % 256) || '.' || ((i * 13) % 256) || ' up'
+                 ELSE '' END AS text
+  FROM ids
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}')) AS n_emails,
+       len(regexp_extract_all(text, '{phone}')) AS n_phones,
+       len(regexp_extract_all(
+             regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+             '{ipv4}')) AS n_ipv4,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+               '{phone}', '[PHONE]', 'g'),
+             '{ipv4}', '[IP]', 'g')) AS redacted_md5
+FROM docs"""
