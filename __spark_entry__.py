@@ -631,6 +631,41 @@ def _q_pii_redaction(spark, sf_dir):
     return pii_stats(docs)
 
 
+def _q_line_dedup(spark, sf_dir):
+    # line-level boilerplate removal (RefinedWeb/CCNet-style): site nav +
+    # copyright lines and cross-site promo banners repeat across >=5 docs
+    # and must be stripped; per-article body lines survive.  Zero UDFs —
+    # the whole pass is explode/aggregate/join SQL
+    from dachshund_spark.functions.linededup import line_dedup
+    from dachshund_spark.oracles import host_graph_pages
+
+    n = host_graph_pages(sf_dir)
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    site = s(i % 53)
+    docs = spark.range(0, n).select(
+        i.alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav home about site"), site),
+            F.concat(
+                F.lit("article "), s(i), F.lit(" para one "),
+                s((i * 7) % 1000),
+            ),
+            F.concat(
+                F.lit("article "), s(i), F.lit(" para two "),
+                s((i * 13) % 1000),
+            ),
+            F.when(
+                i % 4 == 0,
+                F.concat(F.lit("promo banner "), s(i % 11)),
+            ),
+            F.concat(F.lit("copyright site"), site),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_docs=5)
+
+
 def _q_spam_mass(spark, sf_dir):
     # relative spam mass (Gyongyi et al., "Link spam detection based on
     # mass estimation", VLDB'06): how much of a host's PageRank is NOT
@@ -1815,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _q_value_percentiles,
         "emb_kmeans_assignments": _q_kmeans_assignments,
         "doc_pii_redaction": _q_pii_redaction,
+        "web_line_dedup": _q_line_dedup,
     }
 
 
@@ -2528,6 +2564,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["web_spam_mass"] = O.ora_spam_mass(d)
     sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
     sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
+    sql["web_line_dedup"] = O.ora_line_dedup(d)
     sql["events_value_percentiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS p25,

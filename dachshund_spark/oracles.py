@@ -1786,3 +1786,48 @@ SELECT doc_id,
                '{phone}', '[PHONE]', 'g'),
              '{ipv4}', '[IP]', 'g')) AS redacted_md5
 FROM docs"""
+
+
+def ora_line_dedup(d: str, min_docs: int = 5) -> str:
+    """Pure-SQL DuckDB replay of _q_line_dedup: same fixture arithmetic,
+    same exact-line >= min_docs-distinct-docs boilerplate rule, kept text
+    re-joined in original line order (string_agg ORDER BY pos == Spark's
+    array_sort on (pos, line) structs)."""
+    n = host_graph_pages(d)
+    return f"""
+WITH ids AS (SELECT range AS i FROM range(0, {n})),
+docs AS (
+  SELECT i AS doc_id,
+         concat_ws(chr(10),
+           'nav home about site' || (i % 53),
+           'article ' || i || ' para one ' || ((i * 7) % 1000),
+           'article ' || i || ' para two ' || ((i * 13) % 1000),
+           CASE WHEN i % 4 = 0 THEN 'promo banner ' || (i % 11) END,
+           'copyright site' || (i % 53)) AS text
+  FROM ids
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+  FROM docs
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+  ) WHERE nd >= {min_docs}
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (b.line IS NOT NULL) AS is_b
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                    ORDER BY pos),
+         '')) AS kept_md5
+FROM marked
+GROUP BY doc_id"""
