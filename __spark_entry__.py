@@ -1657,6 +1657,32 @@ def _q_page_hits(spark, sf_dir):
     )
 
 
+def _q_page_salsa(spark, sf_dir):
+    # SALSA over the same page-link digraph as web_page_hits_8iter — the
+    # degree-normalized walk needs ZERO driver actions per iteration
+    # (transition weights are static edge attributes), vs HITS's
+    # per-half-step L1 collect
+    from dachshund_spark.functions.extraction import extract
+    from dachshund_spark.operators.salsa import salsa
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import (
+        edges_from_extracted,
+        synthesize_pages,
+        url_dim,
+    )
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7,
+    )
+    hv = salsa(edges_from_extracted(extract(pages)), max_iter=8)
+    return hv.join(url_dim(pages), "v").select(
+        "url",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def _q_harmonic_sampled(spark, sf_dir):
     # harmonic (closeness-family) centrality from 100 md5-sampled sources:
     # all sources run simultaneously as (source, v) BFS supersteps, the
@@ -1851,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assignments": _q_kmeans_assignments,
         "doc_pii_redaction": _q_pii_redaction,
         "web_line_dedup": _q_line_dedup,
+        "web_page_salsa_8iter": _q_page_salsa,
     }
 
 
@@ -2565,6 +2592,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
     sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
     sql["web_line_dedup"] = O.ora_line_dedup(d)
+    sql["web_page_salsa_8iter"] = O.ora_page_salsa(d)
     sql["events_value_percentiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS p25,

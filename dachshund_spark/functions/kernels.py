@@ -1654,3 +1654,31 @@ def kmeans_lloyd_int(vectors, k=8, iters=5, seed=0):
                 for d in range(len(cents[c]))
             ]
     return assign_all()
+
+
+def salsa(edges, max_iter=8):
+    """Sequential SALSA oracle (Lempel & Moran, WWW9 2000; mirrors
+    operators/salsa.py): directed (src, dst) pairs -> {v: (hub, auth)}.
+    Messages divide by the integer local degree — the exact double op
+    the distributed operator performs — from the uniform authority
+    start.  Edge multiplicity counts as weight."""
+    edges = list(edges)
+    if not edges:
+        raise ValueError("salsa: empty edge table")
+    verts = sorted({v for e in edges for v in e})
+    outd: dict = {}
+    ind: dict = {}
+    for s, t in edges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[t] = ind.get(t, 0) + 1
+    n_auth = len(ind)
+    a = {v: (1.0 / n_auth if v in ind else 0.0) for v in verts}
+    h = {v: 0.0 for v in verts}
+    for _ in range(max_iter):
+        h = {v: 0.0 for v in verts}
+        for s, t in edges:
+            h[s] += a[t] / ind[t]
+        a = {v: 0.0 for v in verts}
+        for s, t in edges:
+            a[t] += h[s] / outd[s]
+    return {v: (h[v], a[v]) for v in verts}

@@ -1831,3 +1831,31 @@ SELECT doc_id,
          '')) AS kept_md5
 FROM marked
 GROUP BY doc_id"""
+
+
+def ora_page_salsa(d: str, iters: int = 8, n_sites: int = 53,
+                   n_hubs: int = 16, seed: int = 7) -> str:
+    """Sequential SALSA oracle over the synthesized page-link digraph
+    (operators/salsa.py): kernels.salsa on the page_targets edge set,
+    vertex ids mapped back to urls (same mapping as ora_page_hits)."""
+    from .functions import kernels as K
+
+    n_pages = host_graph_pages(d)
+    edges = [
+        (i, t)
+        for i in range(n_pages)
+        for t in page_targets(i, n_pages, n_hubs, seed)
+    ]
+    hv = K.salsa(edges, max_iter=iters)
+    rows = sorted(
+        (
+            f"https://site{v % n_sites}.test/page{v}",
+            spark_round(h, 6),
+            spark_round(a, 6),
+        )
+        for v, (h, a) in hv.items()
+    )
+    return values_sql(
+        rows,
+        [("url", "VARCHAR"), ("hub", "DOUBLE"), ("authority", "DOUBLE")],
+    )
