@@ -1129,6 +1129,15 @@ def _q_user_sample(spark, sf_dir):
     ).select("user_id", "event_id", "sample_rank")
 
 
+def _q_maximal_matching(spark, sf_dir):
+    # greedy maximal matching of the small copurchase subgraph under the
+    # static md5 edge order — the distributed local-minima rounds equal a
+    # sequential greedy scan, so the matching is value-hash-gated
+    from dachshund_spark.operators.matching import greedy_matching
+
+    return greedy_matching(cp_small_edges(spark, sf_dir))
+
+
 def _q_luby_mis(spark, sf_dir):
     # Luby maximal independent set of the full copurchase graph —
     # deterministic md5 per-round priorities, so even this "randomized"
@@ -1863,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topological_levels": _q_topo_levels,
         "graph_random_walks": _q_random_walks,
         "graph_luby_mis": _q_luby_mis,
+        "graph_maximal_matching": _q_maximal_matching,
         "doc_gopher_repetition": _q_gopher_repetition,
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
@@ -2539,6 +2549,7 @@ FROM f"""
     sql["graph_topological_levels"] = O.ora_topo_levels(d)
     sql["graph_random_walks"] = O.ora_random_walks(d, walks=2, length=4, seed=0)
     sql["graph_luby_mis"] = O.ora_luby_mis(d, seed=0)
+    sql["graph_maximal_matching"] = O.ora_greedy_matching(d)
     sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
     sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
         d, walks=1, length=4, p=2.0, q=0.5, seed=0

@@ -1682,3 +1682,26 @@ def salsa(edges, max_iter=8):
         for s, t in edges:
             a[t] += h[s] / outd[s]
     return {v: (h[v], a[v]) for v in verts}
+
+
+def greedy_matching(edges):
+    """Sequential mirror of operators/matching.py:greedy_matching — a
+    single greedy scan of canonical edges in (md5(f"{a}|{b}"), a, b)
+    order.  Under a STATIC priority order the distributed local-minima
+    rounds compute exactly this lexicographically-first maximal matching.
+    Returns sorted [(a, b)]."""
+    import hashlib
+
+    canon = {(min(s, t), max(s, t)) for s, t in edges if s != t}
+    order = sorted(
+        (hashlib.md5(f"{a}|{b}".encode()).hexdigest(), a, b)
+        for a, b in canon
+    )
+    matched: set = set()
+    out = []
+    for _, a, b in order:
+        if a not in matched and b not in matched:
+            matched.add(a)
+            matched.add(b)
+            out.append((a, b))
+    return sorted(out)

@@ -1859,3 +1859,13 @@ def ora_page_salsa(d: str, iters: int = 8, n_sites: int = 53,
         rows,
         [("url", "VARCHAR"), ("hub", "DOUBLE"), ("authority", "DOUBLE")],
     )
+
+
+def ora_greedy_matching(d: str) -> str:
+    """Sequential greedy-scan oracle for graph_maximal_matching
+    (operators/matching.py): same static md5 edge order, so the
+    lexicographically-first maximal matching matches edge-for-edge."""
+    from .functions import kernels as K
+
+    rows = K.greedy_matching(cp_small_edges(d))
+    return values_sql(rows, [("a", "BIGINT"), ("b", "BIGINT")])
