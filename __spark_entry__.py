@@ -1036,6 +1036,15 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_unigram_surprisal(spark, sf_dir):
+    # corpus-unigram-LM quality proxy: per-doc quantized surprisal in
+    # whole bits — exact integer arithmetic end to end (floor-log2 via
+    # binary string length), no libm, no float accumulation order
+    from dachshund_spark.functions.textops import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _q_adamic_adar(spark, sf_dir):
     # link prediction on the small copurchase subgraph (same fixture as
     # the O(deg^2)-frontier exact operators): distance-2 non-edges with
@@ -1828,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_feature_stats": _q_video_features,
         "graph_bfs_from_min": _q_bfs,
         "doc_token_counts": _q_token_counts,
+        "doc_unigram_surprisal": _q_unigram_surprisal,
         "doc_quality_scores": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_exact_duplicates": _q_exact_dups,
@@ -2147,6 +2157,30 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        length(text) AS n_chars
 FROM documents"""
+    sql["doc_unigram_surprisal"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, ws[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+  WHERE ws[i] <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM cnt)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+       CAST(sum(tf * bits) * 1000 // sum(tf) AS BIGINT) AS mean_millibits
+FROM (
+  SELECT tf.doc_id, tf.tf,
+         (length(to_base(total_n, 2)) - 1)
+           - (length(to_base(n, 2)) - 1) AS bits
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+)
+GROUP BY doc_id"""
     sql["doc_bpe_token_counts"] = """
 SELECT doc_id,
        len(regexp_extract_all(text,

@@ -359,3 +359,61 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         frac(F.col("t3")).alias("top_3gram_frac"),
         frac(F.col("d5")).alias("dup_5gram_frac"),
     )
+
+
+def floor_log2(n: Column) -> Column:
+    """floor(log2(n)) for integer n >= 1 via binary-string length —
+    exact integer arithmetic (no transcendentals), so Spark and any SQL
+    engine agree bit-for-bit (DuckDB mirror: length(to_base(n, 2)) - 1)."""
+    return (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("bigint")
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document quantized surprisal under a corpus unigram LM:
+    (doc_id, n_tokens, sum_bits, mean_millibits).
+
+    The LM-quality proxy a pretraining pipeline runs when a real LM is
+    too expensive: rare-token-heavy documents (gibberish, codes, OCR
+    noise) score high, common-prose documents low.  Each token's cost is
+    the INTEGER bit count ``floor(log2(N)) - floor(log2(count(term)))``
+    (N = corpus token total) — log2(1/p) quantized to whole bits, so the
+    whole computation is exact integer arithmetic end to end: no libm
+    log(), no float accumulation order, no rounding ties.  The per-doc
+    mean is reported as ``mean_millibits = sum_bits * 1000 DIV n_tokens``
+    (integer floor division), again exact in every engine.
+
+    Plan shape: one explode + (doc_id, term) groupBy for per-doc tf; a
+    vocabulary-sized term groupBy (map-side combinable) broadcast back;
+    one one-row total; then a per-doc re-aggregate of <= distinct-term
+    rows.  Everything is built-in SQL expressions inside whole-stage
+    codegen; no UDFs.  At 100 TB the vocabulary rollup is the only
+    global state and is heavy-tail-friendly (partial aggregation absorbs
+    hot terms map-side); if the vocabulary outgrows a broadcast, the
+    join degrades gracefully to a shuffle on ``term``.
+
+    Blank documents have no tokens and are absent from the output (a
+    pipeline filters them with the length gate, not the LM gate).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    total = counts.agg(F.sum("n").alias("total_n"))
+    bits = floor_log2(F.col("total_n")) - floor_log2(F.col("n"))
+    return (
+        tf.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.expr("sum_bits * 1000L DIV n_tokens").alias("mean_millibits"),
+        )
+    )
