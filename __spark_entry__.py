@@ -1701,6 +1701,22 @@ def _q_page_salsa(spark, sf_dir):
     )
 
 
+def _q_anchor_index(spark, sf_dir):
+    # incoming anchor-text index (the classic web-search ranking signal):
+    # top-3 anchor terms per target page over the varied-anchor fixture —
+    # one map-side-combining (target, term) groupBy + a WindowGroupLimit
+    # top-k, all JVM-side
+    from dachshund_spark.functions.extraction import anchor_text_index
+    from dachshund_spark.oracles import host_graph_pages
+    from dachshund_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark, n_pages=host_graph_pages(sf_dir), n_sites=53, n_hubs=16,
+        seed=7, varied_anchors=True,
+    )
+    return anchor_text_index(pages, k=3)
+
+
 def _q_harmonic_sampled(spark, sf_dir):
     # harmonic (closeness-family) centrality from 100 md5-sampled sources:
     # all sources run simultaneously as (source, v) BFS supersteps, the
@@ -1898,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": _q_pii_redaction,
         "web_line_dedup": _q_line_dedup,
         "web_page_salsa_8iter": _q_page_salsa,
+        "web_anchor_text_index": _q_anchor_index,
     }
 
 
@@ -2638,6 +2655,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
     sql["web_line_dedup"] = O.ora_line_dedup(d)
     sql["web_page_salsa_8iter"] = O.ora_page_salsa(d)
+    sql["web_anchor_text_index"] = O.ora_anchor_index(d)
     sql["events_value_percentiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.25), 6) AS p25,

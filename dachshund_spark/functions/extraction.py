@@ -55,3 +55,62 @@ def extract(pages: DataFrame) -> DataFrame:
         extract_text_udf(F.col("html")).alias("text"),
         extract_outlinks_udf(F.col("html")).alias("outlinks"),
     )
+
+
+ANCHOR_TAG_RE = r'<a href="[^"]+">[^<]*</a>'
+
+
+def anchor_pairs(pages: DataFrame) -> DataFrame:
+    """pages (url, html) -> one row per anchor occurrence:
+    (url, target, anchor).
+
+    Pure JVM path — decode + regexp_extract_all + explode + two
+    regexp_extracts, all inside whole-stage codegen (no pandas batch
+    needed: unlike text extraction there is no byte-identical-oracle
+    contract here, and the per-tag projection is regular enough for the
+    SQL regex engine)."""
+    tags = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit(ANCHOR_TAG_RE), F.lit(0)
+    )
+    return pages.select("url", F.explode(tags).alias("tag")).select(
+        "url",
+        F.regexp_extract("tag", r'<a href="([^"]+)"', 1).alias("target"),
+        F.regexp_extract("tag", r">([^<]*)</a>", 1).alias("anchor"),
+    )
+
+
+def anchor_text_index(pages: DataFrame, k: int = 3) -> DataFrame:
+    """The classic web-search ranking signal: for every crawled page,
+    the top-``k`` incoming anchor terms with occurrence counts —
+    (url, term, n, rank), url being the link TARGET.
+
+    Plan shape at crawl scale: one (target, term) groupBy with map-side
+    partial aggregation (hub pages receive ~n/n_hubs in-links — exactly
+    the hot keys partial agg absorbs), a left-semi join against the
+    crawled url set (broadcast-able: it is the url dimension, tiny
+    relative to the anchor fan-out), then a per-target window whose
+    ``row_number() <= k`` predicate Spark executes as WindowGroupLimit —
+    partial top-k BEFORE the exchange, so the final shuffle carries at
+    most k rows per (target, partition)."""
+    from pyspark.sql import Window
+
+    pairs = anchor_pairs(pages)
+    crawled = pages.select(F.col("url").alias("target")).distinct()
+    counts = (
+        pairs.join(F.broadcast(crawled), "target", "left_semi")
+        .groupBy("target", "anchor")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("target").alias("url"),
+            F.col("anchor").alias("term"),
+            "n",
+            "rank",
+        )
+    )

@@ -1869,3 +1869,36 @@ def ora_greedy_matching(d: str) -> str:
 
     rows = K.greedy_matching(cp_small_edges(d))
     return values_sql(rows, [("a", "BIGINT"), ("b", "BIGINT")])
+
+
+def anchor_index_rows(n_pages: int, n_sites: int = 53, n_hubs: int = 16,
+                      seed: int = 7, k: int = 3) -> list:
+    """Expected top-k incoming anchor terms per target page for the
+    varied_anchors fixture (pages.py synthesize_pages): same link
+    arithmetic as page_targets, anchor term = term{(i*17+t*29+seed)%40},
+    ranking (n DESC, term ASC)."""
+    from collections import defaultdict
+
+    counts: dict = defaultdict(int)
+    for i in range(n_pages):
+        for t in page_targets(i, n_pages, n_hubs, seed):
+            counts[(t, f"term{(i * 17 + t * 29 + seed) % 40}")] += 1
+    per_target: dict = defaultdict(list)
+    for (t, term), n in counts.items():
+        per_target[t].append((term, n))
+    rows = []
+    for t, terms in sorted(per_target.items()):
+        ranked = sorted(terms, key=lambda x: (-x[1], x[0]))[:k]
+        url = f"https://site{t % n_sites}.test/page{t}"
+        rows.extend(
+            (url, term, n, r + 1) for r, (term, n) in enumerate(ranked)
+        )
+    return rows
+
+
+def ora_anchor_index(d: str, k: int = 3) -> str:
+    return values_sql(
+        anchor_index_rows(host_graph_pages(d), k=k),
+        [("url", "VARCHAR"), ("term", "VARCHAR"), ("n", "BIGINT"),
+         ("rank", "INTEGER")],
+    )

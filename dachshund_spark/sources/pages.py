@@ -39,8 +39,16 @@ def synthesize_pages(
     n_hubs: int = 16,
     seed: int = 42,
     partitions: int | None = None,
+    varied_anchors: bool = False,
 ) -> DataFrame:
-    """Deterministic synthetic pages table (see module docstring)."""
+    """Deterministic synthetic pages table (see module docstring).
+
+    ``varied_anchors=False`` (default) keeps every anchor's text as the
+    literal ``link`` — the byte-exact fixture all pre-existing gates
+    hash.  ``varied_anchors=True`` draws the anchor text from a 40-term
+    vocabulary as ``term{(src*17 + dst*29 + seed) % 40}`` — deterministic
+    per (src, dst), so anchor-text aggregation queries have a
+    pure-python-computable expected output (oracles.anchor_index_rows)."""
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     # 1..7 spread links + 1 hub link, all deterministic arithmetic
@@ -62,6 +70,14 @@ def synthesize_pages(
         F.pmod(i * 7 + F.lit(seed), F.lit(1000)).cast("string"),
         F.lit("."),
     )
+    def _anchor_text(t: Column) -> Column:
+        if not varied_anchors:
+            return F.lit("link")
+        return F.concat(
+            F.lit("term"),
+            F.pmod(i * 17 + t * 29 + F.lit(seed), F.lit(40)).cast("string"),
+        )
+
     anchors = F.aggregate(
         targets,
         F.lit(""),
@@ -69,7 +85,9 @@ def synthesize_pages(
             acc,
             F.lit('<a href="'),
             _url_for(t, n_sites),
-            F.lit('">link</a>'),
+            F.lit('">'),
+            _anchor_text(t),
+            F.lit("</a>"),
         ),
     )
     html = F.concat(
