@@ -1331,6 +1331,37 @@ def _q_events_sessions(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+def _q_hourly_counts_stream(spark, sf_dir):
+    # the batch hourly tumbling-window aggregate run END-TO-END as a real
+    # streaming job (file source -> watermark -> availableNow -> memory
+    # sink); append mode emits exactly the windows whose end the final
+    # watermark (ms-floored max event time minus the 2h delay) has passed
+    import os
+    import tempfile
+    import uuid
+
+    from dachshund_spark.streaming.events import windowed_counts_stream
+
+    d = tempfile.mkdtemp(prefix="wc_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-0.parquet"),
+    )
+    name = f"evt_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_counts_stream(spark, d, "1 hour", "2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
 def _q_burst_sessions_stateful(spark, sf_dir):
     # the applyInPandasWithState custom sessionizer, driven END-TO-END as
     # a real streaming job (file source -> availableNow -> memory sink);
@@ -1871,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_counts": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_burst_sessions_stateful": _q_burst_sessions_stateful,
+        "events_hourly_counts_stream": _q_hourly_counts_stream,
         "doc_embedding_near_dups": _q_emb_near_dups,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2446,6 +2478,16 @@ WHERE epoch_ms(session_end)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2"""
+    sql["events_hourly_counts_stream"] = """
+WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+  FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)"""
     sql["events_user_activity"] = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
        count(DISTINCT event_type) AS n_event_types

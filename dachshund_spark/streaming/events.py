@@ -261,3 +261,29 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``windowed_event_counts`` in its incremental form: file source ->
+    event-time watermark -> the SAME tumbling-window aggregation the
+    batch gate runs (one shared definition, so batch and stream cannot
+    drift).  In append mode a window is emitted exactly once, when the
+    watermark passes its end — the batch oracle is therefore the batch
+    aggregate restricted to watermark-finalized windows.
+
+    State at scale: one row per (window, event_type) within the
+    watermark horizon — bounded regardless of stream length; the groupBy
+    hash-partitions across executors and partial aggregation absorbs
+    per-batch volume map-side.
+    """
+    return windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withWatermark("ts", watermark),
+        window,
+    )

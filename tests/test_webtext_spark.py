@@ -812,3 +812,42 @@ def test_canonicalize_url_rules(spark):
         r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """windowed_counts_stream == the shared batch aggregate restricted to
+    watermark-finalized windows (append-mode contract: a tumbling window
+    emits iff the final watermark passed its end)."""
+    import datetime
+    import os
+
+    from dachshund_spark.streaming import events as E
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mx = batch.agg(F.max("ts")).collect()[0][0]
+    wm = mx.replace(microsecond=(mx.microsecond // 1000) * 1000) - \
+        datetime.timedelta(hours=2)
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in E.windowed_event_counts(batch, "1 hour").collect()
+        if r["window_start"] + datetime.timedelta(hours=1) <= wm
+    }
+    assert want  # fixture must finalize some windows
+
+    stream_dir = tmp_path / "events_wc"
+    stream_dir.mkdir()
+    os.symlink(f"{SF_DIR}/events.parquet", stream_dir / "part-0.parquet")
+    q = (
+        E.windowed_counts_stream(spark, str(stream_dir), "1 hour", "2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evt_wc_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM evt_wc_test").collect()
+    }
+    assert got == want
