@@ -977,6 +977,22 @@ def _q_ivf_clustered(spark, sf_dir):
     )
 
 
+def _q_pq_codes(spark, sf_dir):
+    # product quantization (Jegou et al., TPAMI 2011) over the clustered
+    # fixture: driver-trained per-subspace codebooks, distributed Arrow
+    # batch encoding; codes + reconstruction error pinned against the
+    # numpy mirror of the same quantizer
+    from dachshund_spark.functions.similarity import (
+        pq_codes,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    )
+    return pq_codes(emb, m=4, k=16, n_iters=10)
+
+
 def _q_image_features(spark, sf_dir):
     # REAL codec path: struct+numpy-encoded 24-bit BMP payloads decoded
     # task-side; oracle regenerates the pixels without the container, so
@@ -1943,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_spam_mass": _q_spam_mass,
         "events_value_percentiles": _q_value_percentiles,
         "emb_kmeans_assignments": _q_kmeans_assignments,
+        "emb_pq_codes": _q_pq_codes,
         "doc_pii_redaction": _q_pii_redaction,
         "web_line_dedup": _q_line_dedup,
         "web_page_salsa_8iter": _q_page_salsa,
@@ -2694,6 +2711,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["web_url_dedup"] = O.ora_url_dedup(d)
     sql["web_spam_mass"] = O.ora_spam_mass(d)
     sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
+    sql["emb_pq_codes"] = O.ora_pq_codes(d)
     sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
     sql["web_line_dedup"] = O.ora_line_dedup(d)
     sql["web_page_salsa_8iter"] = O.ora_page_salsa(d)

@@ -1902,3 +1902,46 @@ def ora_anchor_index(d: str, k: int = 3) -> str:
         [("url", "VARCHAR"), ("term", "VARCHAR"), ("n", "BIGINT"),
          ("rank", "INTEGER")],
     )
+
+
+def ora_pq_codes(
+    d: str,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 50,
+    sigma: float = 0.05,
+    seed: int = 7,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+) -> str:
+    """numpy mirror of similarity.pq_codes over the clustered fixture:
+    regenerates the exact float32 vectors (same arithmetic as
+    synthesize_clustered_embeddings / ora_ivf_clustered), trains the SAME
+    per-subspace codebooks via the shared pq_train_codebooks, and encodes
+    with the shared pq_encode_mat — codes and the rounded reconstruction
+    error are identical by construction."""
+    import numpy as np
+
+    from .functions.similarity import pq_encode_mat, pq_train_codebooks
+
+    mat32 = np.empty((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = i % n_clusters
+        center = np.random.default_rng(seed * 1_000_003 + c).standard_normal(dim)
+        center /= np.linalg.norm(center)
+        noise = np.random.default_rng(seed * 2_000_003 + i).standard_normal(dim)
+        mat32[i] = (center + sigma * noise).astype(np.float32)
+    mat = mat32.astype(np.float64)
+    books = pq_train_codebooks(mat[:train_limit], m, k, n_iters)
+    codes, err = pq_encode_mat(mat, books)
+    rows = [
+        (i, *(int(c) for c in codes[i]), float(err[i])) for i in range(n)
+    ]
+    cols = (
+        [("vec_id", "BIGINT")]
+        + [(f"code{s}", "INTEGER") for s in range(m)]
+        + [("recon_err", "DOUBLE")]
+    )
+    return values_sql(rows, cols)
