@@ -1154,6 +1154,14 @@ def _q_user_sample(spark, sf_dir):
     ).select("user_id", "event_id", "sample_rank")
 
 
+def _q_double_sweep(spark, sf_dir):
+    # Magnien-Latapy-Habib double sweep: diameter lower bound of the
+    # small copurchase subgraph in exactly two BFS passes
+    from dachshund_spark.operators.paths import double_sweep_diameter
+
+    return double_sweep_diameter(cp_small_edges(spark, sf_dir))
+
+
 def _q_maximal_matching(spark, sf_dir):
     # greedy maximal matching of the small copurchase subgraph under the
     # static md5 edge order — the distributed local-minima rounds equal a
@@ -1947,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_random_walks,
         "graph_luby_mis": _q_luby_mis,
         "graph_maximal_matching": _q_maximal_matching,
+        "graph_double_sweep_diameter": _q_double_sweep,
         "doc_gopher_repetition": _q_gopher_repetition,
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
@@ -2660,6 +2669,7 @@ FROM f"""
     sql["graph_random_walks"] = O.ora_random_walks(d, walks=2, length=4, seed=0)
     sql["graph_luby_mis"] = O.ora_luby_mis(d, seed=0)
     sql["graph_maximal_matching"] = O.ora_greedy_matching(d)
+    sql["graph_double_sweep_diameter"] = O.ora_double_sweep(d)
     sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
     sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
         d, walks=1, length=4, p=2.0, q=0.5, seed=0

@@ -1705,3 +1705,29 @@ def greedy_matching(edges):
             matched.add(b)
             out.append((a, b))
     return sorted(out)
+
+
+def double_sweep_diameter(adj):
+    """Sequential mirror of operators/paths.py:double_sweep_diameter —
+    BFS from min vertex, re-BFS from the farthest (tie: min id).
+    Self-loops ignored.  Returns (sweep1_source, sweep2_source, bound)."""
+    from collections import deque
+
+    nbrs = {v: {n for n in ns if n != v} for v, ns in adj.items()}
+    nbrs = {v: ns for v, ns in nbrs.items() if ns}
+
+    def bfs(s):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in nbrs[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        return dist
+
+    s1 = min(nbrs)
+    d1 = bfs(s1)
+    s2 = sorted(d1.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    return s1, s2, max(bfs(s2).values())

@@ -110,3 +110,40 @@ def shortest_path_dag(edges: DataFrame, source: int) -> DataFrame:
 
 def undirected_bfs_distances(edges: DataFrame, source: int) -> DataFrame:
     return bfs_distances(symmetrized(edges), source)
+
+
+def double_sweep_diameter(edges: DataFrame, max_depth: int = 10000) -> DataFrame:
+    """Magnien-Latapy-Habib double sweep: a tight diameter LOWER bound in
+    two BFS passes (exact eccentricity of the second endpoint), the
+    standard first question asked of a crawled link graph ("how wide is
+    the web?" — exact diameter is all-pairs and hopeless at 10^10
+    vertices; the double sweep is 2 BFS and usually within 1-2 of exact).
+
+    Undirected semantics (edges symmetrized here).  Sweep 1 starts from
+    the minimum vertex id; the farthest vertex (tie: min id) seeds sweep
+    2; the bound is sweep 2's max distance.  Both seed selections are
+    deterministic, so the result is value-hash-gateable against a
+    sequential BFS kernel.  Returns one row:
+    (sweep1_source, sweep2_source, diameter_lower_bound).
+
+    Scale shape: exactly two bfs_distances runs (frontier supersteps with
+    the every-3-depths lineage cut) plus three tiny driver reductions —
+    no new shuffle machinery."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    s1 = sym.agg(F.min("src")).collect()[0][0]
+    if s1 is None:
+        raise ValueError("double_sweep_diameter: empty edge table")
+    d1 = bfs_distances(sym, int(s1), max_depth)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("v").asc()).limit(1).collect()[0]
+    )
+    s2 = int(far["v"])
+    d2 = bfs_distances(sym, s2, max_depth)
+    bound = d2.agg(F.max("dist")).collect()[0][0]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(s1), s2, int(bound))],
+        "sweep1_source long, sweep2_source long, diameter_lower_bound int",
+    )

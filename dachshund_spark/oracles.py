@@ -1945,3 +1945,16 @@ def ora_pq_codes(
         + [("recon_err", "DOUBLE")]
     )
     return values_sql(rows, cols)
+
+
+def ora_double_sweep(d: str) -> str:
+    """Sequential double-sweep oracle for graph_double_sweep_diameter
+    (operators/paths.py) over the small copurchase subgraph."""
+    from .functions import kernels as K
+
+    s1, s2, bound = K.double_sweep_diameter(_cp_small_adj(d))
+    return values_sql(
+        [(s1, s2, bound)],
+        [("sweep1_source", "BIGINT"), ("sweep2_source", "BIGINT"),
+         ("diameter_lower_bound", "INTEGER")],
+    )

@@ -44,3 +44,24 @@ def test_matching_k2_and_star(spark):
 
 def test_matching_self_loops_only_is_empty(spark):
     assert greedy_matching(_edges(spark, [(3, 3), (4, 4)])).count() == 0
+
+
+def test_double_sweep_path_graph_exact(spark):
+    from dachshund_spark.operators.paths import double_sweep_diameter
+
+    # path 0-1-2-3-4: diameter 4, sweep1 from 0, farthest 4
+    r = double_sweep_diameter(
+        _edges(spark, [(i, i + 1) for i in range(4)])
+    ).collect()[0]
+    assert (r["sweep1_source"], r["sweep2_source"],
+            r["diameter_lower_bound"]) == (0, 4, 4)
+
+
+def test_double_sweep_matches_kernel(spark):
+    from dachshund_spark.operators.paths import double_sweep_diameter
+
+    pairs = _fixture_pairs()
+    got = double_sweep_diameter(_edges(spark, pairs)).collect()[0]
+    want = K.double_sweep_diameter(K.build_undirected_adj(pairs))
+    assert (got["sweep1_source"], got["sweep2_source"],
+            got["diameter_lower_bound"]) == want
