@@ -993,6 +993,23 @@ def _q_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, k=16, n_iters=10)
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    # PQ asymmetric-distance search: integer micro-unit LUT lookups via a
+    # broadcast equi-join over the exploded code table — no cross join,
+    # no float in the scoring path; ranking pinned against the numpy
+    # mirror of the same quantizer
+    from dachshund_spark.functions.similarity import (
+        pq_adc_topk,
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=50, sigma=0.05, seed=7
+    ).persist()
+    queries = emb.filter(F.col("vec_id") < 16)
+    return pq_adc_topk(emb, queries, k_neighbors=10, m=4, k=16, n_iters=10)
+
+
 def _q_image_features(spark, sf_dir):
     # REAL codec path: struct+numpy-encoded 24-bit BMP payloads decoded
     # task-side; oracle regenerates the pixels without the container, so
@@ -1969,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _q_value_percentiles,
         "emb_kmeans_assignments": _q_kmeans_assignments,
         "emb_pq_codes": _q_pq_codes,
+        "emb_pq_adc_topk": _q_pq_adc_topk,
         "doc_pii_redaction": _q_pii_redaction,
         "web_line_dedup": _q_line_dedup,
         "web_page_salsa_8iter": _q_page_salsa,
@@ -2722,6 +2740,7 @@ SELECT user_id, event_id, sample_rank FROM (
     sql["web_spam_mass"] = O.ora_spam_mass(d)
     sql["emb_kmeans_assignments"] = O.ora_kmeans_assignments(d)
     sql["emb_pq_codes"] = O.ora_pq_codes(d)
+    sql["emb_pq_adc_topk"] = O.ora_pq_adc(d)
     sql["doc_pii_redaction"] = O.ora_pii_redaction(d)
     sql["web_line_dedup"] = O.ora_line_dedup(d)
     sql["web_page_salsa_8iter"] = O.ora_page_salsa(d)

@@ -674,3 +674,88 @@ def pq_codes(
         embeddings.select("vec_id", enc_col.alias("e"))
         .select("vec_id", *cols, F.element_at(F.col("e"), m + 1).alias("recon_err"))
     )
+
+
+def pq_adc_lut(q_mat, books):
+    """Integer ADC lookup tables: (nq, M, k) int64 of squared-L2 costs in
+    micro-units (round(d2 * 1e6)).  Integer costs make the per-candidate
+    ADC total an EXACT sum — no float accumulation order, so the ranking
+    is engine-independent.  Shared by the Spark LUT DataFrame and the
+    numpy oracle."""
+    import numpy as np
+
+    q64 = np.asarray(q_mat, dtype=np.float64)
+    m = len(books)
+    k = books[0].shape[0]
+    sub = q64.shape[1] // m
+    lut = np.empty((q64.shape[0], m, k), dtype=np.int64)
+    for s, cb in enumerate(books):
+        qs = q64[:, s * sub : (s + 1) * sub]
+        d2 = ((qs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        lut[:, s, :] = np.round(d2 * 1e6).astype(np.int64)
+    return lut
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors are M uint8 codes;
+    each query's cost against a candidate is M integer table lookups —
+    never a D-dim float op.  Returns (query_id, neighbor_id, adc_micro,
+    rank), rank by (adc_micro ASC, neighbor_id ASC).
+
+    Spark shape: the corpus code table (the compressed corpus — the
+    whole point of PQ at 100 TB) is exploded to (vec_id, s, code) rows
+    once; the per-query LUTs are a BROADCAST table of nq*M*k rows
+    (kilobytes), so candidate scoring is a broadcast equi-join on
+    (s, code) + one map-side-combinable integer sum per (query,
+    candidate) — no cross join, no float, no UDF in the scoring path."""
+    import numpy as np
+
+    books = pq_train_driver(embeddings, m, k, n_iters, train_limit)
+    codes = pq_codes(embeddings, m, k, n_iters, train_limit, books=books)
+    long_codes = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"), F.col(f"code{s}").alias("code")
+                )
+                for s in range(m)
+            ])
+        ).alias("sc"),
+    ).select("neighbor_id", "sc.s", "sc.code")
+    q_rows = sorted(
+        queries.select("vec_id", "embedding").collect(), key=lambda r: r[0]
+    )
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    lut = pq_adc_lut(q_mat, books)
+    spark = embeddings.sparkSession
+    lut_rows = [
+        (int(q_rows[qi][0]), s, c, int(lut[qi, s, c]))
+        for qi in range(len(q_rows))
+        for s in range(m)
+        for c in range(k)
+    ]
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, s int, code int, cost long"
+    )
+    scored = (
+        long_codes.join(F.broadcast(lut_df), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("cost").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+    )

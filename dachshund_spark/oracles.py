@@ -1958,3 +1958,55 @@ def ora_double_sweep(d: str) -> str:
         [("sweep1_source", "BIGINT"), ("sweep2_source", "BIGINT"),
          ("diameter_lower_bound", "INTEGER")],
     )
+
+
+def ora_pq_adc(
+    d: str,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 50,
+    sigma: float = 0.05,
+    seed: int = 7,
+    n_queries: int = 16,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 10,
+    train_limit: int = 4096,
+) -> str:
+    """numpy mirror of similarity.pq_adc_topk over the clustered fixture:
+    shared codebooks + codes + integer micro-unit LUT, exact integer ADC
+    sums, ranking (adc_micro ASC, neighbor ASC)."""
+    import numpy as np
+
+    from .functions.similarity import (
+        pq_adc_lut,
+        pq_encode_mat,
+        pq_train_codebooks,
+    )
+
+    mat32 = np.empty((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = i % n_clusters
+        center = np.random.default_rng(seed * 1_000_003 + c).standard_normal(dim)
+        center /= np.linalg.norm(center)
+        noise = np.random.default_rng(seed * 2_000_003 + i).standard_normal(dim)
+        mat32[i] = (center + sigma * noise).astype(np.float32)
+    mat = mat32.astype(np.float64)
+    books = pq_train_codebooks(mat[:train_limit], m, k, n_iters)
+    codes, _ = pq_encode_mat(mat, books)
+    lut = pq_adc_lut(mat[:n_queries], books)
+    rows = []
+    for qi in range(n_queries):
+        costs = [
+            (int(sum(int(lut[qi, s, codes[i, s]]) for s in range(m))), i)
+            for i in range(n)
+            if i != qi
+        ]
+        for r, (cost, i) in enumerate(sorted(costs)[:k_neighbors]):
+            rows.append((qi, i, cost, r + 1))
+    return values_sql(
+        rows,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+         ("adc_micro", "BIGINT"), ("rank", "INTEGER")],
+    )

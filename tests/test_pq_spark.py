@@ -53,3 +53,31 @@ def test_pq_more_centroids_reduce_error():
 def test_pq_dim_not_divisible_raises():
     with pytest.raises(ValueError):
         pq_train_codebooks(np.zeros((10, 10)), m=4, k=2)
+
+
+def test_pq_adc_neighbors_are_same_cluster(spark):
+    # PQ codes collide WITHIN a well-separated cluster (that's the
+    # compression), so ADC cannot reproduce fine-grained cosine order —
+    # the property a coarse quantizer must have is cluster purity: the
+    # ADC top-10 of a query lives in the query's own cluster
+    # (cluster id = vec_id % n_clusters in the fixture)
+    from dachshund_spark.functions.similarity import pq_adc_topk
+
+    n_clusters = 20
+    emb = synthesize_clustered_embeddings(
+        spark, 600, dim=32, n_clusters=n_clusters, sigma=0.05, seed=9
+    ).persist()
+    queries = emb.filter("vec_id < 8")
+    got = pq_adc_topk(emb, queries, k_neighbors=10, m=4, k=16, n_iters=5)
+    rows = got.collect()
+    assert len(rows) == 80
+    pure = sum(
+        1 for r in rows
+        if r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+    )
+    assert pure / len(rows) >= 0.9
+    # and per-query ranks are dense 1..10
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per.values())
