@@ -1403,6 +1403,34 @@ def _q_hourly_counts_stream(spark, sf_dir):
     )
 
 
+def _q_click_attribution_stream(spark, sf_dir):
+    # stream-stream interval join driven end-to-end (file source ->
+    # double watermark -> availableNow -> memory sink); inner-join
+    # emission over a bounded input equals the batch interval join
+    import os
+    import tempfile
+    import uuid
+
+    from dachshund_spark.streaming.events import click_purchase_join_stream
+
+    d = tempfile.mkdtemp(prefix="attr_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "part-0.parquet"),
+    )
+    name = f"evt_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_join_stream(spark, d, "1 hour", "2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_burst_sessions_stateful(spark, sf_dir):
     # the applyInPandasWithState custom sessionizer, driven END-TO-END as
     # a real streaming job (file source -> availableNow -> memory sink);
@@ -1505,6 +1533,34 @@ def _q_nation_orders(spark, sf_dir):
 
 def _cents(col, scale=100):
     return F.round(F.col(col) * scale).cast("long")
+
+
+def _q_tpch_q10(spark, sf_dir):
+    # TPC-H Q10 returned-item-reporting shape: fact filter + two
+    # broadcast-able dims, top-20 customers by exact-cents revenue
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
 
 
 def _q_tpch_q6(spark, sf_dir):
@@ -1944,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_burst_sessions_stateful": _q_burst_sessions_stateful,
         "events_hourly_counts_stream": _q_hourly_counts_stream,
+        "events_click_attribution_stream": _q_click_attribution_stream,
         "doc_embedding_near_dups": _q_emb_near_dups,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1951,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q10_returned_items": _q_tpch_q10,
         "graph_anf_sketch_t3": _q_anf_sketch,
         "web_host_graph": _q_host_graph,
         "graph_personalized_pagerank_5iter": _q_ppr,
@@ -2532,6 +2590,14 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events
 GROUP BY 1, 2
 HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)"""
+    sql["events_click_attribution_stream"] = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
     sql["events_user_activity"] = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
        count(DISTINCT event_type) AS n_event_types
@@ -2551,6 +2617,21 @@ SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
+    sql["tpch_q10_returned_items"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
     sql["tpch_q6_forecast_revenue"] = """
 SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
            * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,

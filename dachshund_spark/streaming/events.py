@@ -287,3 +287,61 @@ def windowed_counts_stream(
         .withWatermark("ts", watermark),
         window,
     )
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    path: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream interval join (click attribution): each purchase
+    joins the same user's clicks from the preceding ``horizon``.  Both
+    sides carry an event-time watermark and the join predicate bounds
+    purchase_ts to [click_ts, click_ts + horizon], which is exactly what
+    lets Spark expire join state: a buffered click can be dropped once
+    the purchase-side watermark passes click_ts + horizon — state stays
+    bounded by the watermark window regardless of stream length, and the
+    join is an equi-join on user_id under the hood (hash-partitioned
+    across executors, the range predicate evaluated post-match).
+
+    Inner-join semantics: a match is emitted in the micro-batch where
+    both rows are present, so over a bounded input the emitted set is
+    EXACTLY the batch interval join — the correctness oracle."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(path)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )

@@ -851,3 +851,61 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evt_wc_test").collect()
     }
     assert got == want
+
+
+def test_click_attribution_stream_multibatch(spark, tmp_path):
+    """Stream-stream interval join across MICRO-BATCH boundaries: clicks
+    arrive one batch before purchases, so matches can only come from
+    buffered join state; an out-of-horizon purchase must not match."""
+    import datetime
+
+    from dachshund_spark.streaming import events as E
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def _mk(rows, name):
+        df = spark.createDataFrame(rows, E.EVENTS_SCHEMA)
+        one = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.parquet(one)
+        return one
+
+    stream_dir = tmp_path / "attr_in"
+    stream_dir.mkdir()
+    import glob
+    import shutil
+
+    # file 1 (batch 1): clicks for users 1 and 2
+    f1 = _mk(
+        [(10, t0, 1, "click", 0.0, ""), (11, t0, 2, "click", 0.0, "")],
+        "f1",
+    )
+    # file 2 (batch 2): user 1 purchase at +30min (match), user 2
+    # purchase at +90min (outside the 1h horizon -> no match)
+    f2 = _mk(
+        [
+            (20, t0 + datetime.timedelta(minutes=30), 1, "purchase", 9.5, ""),
+            (21, t0 + datetime.timedelta(minutes=90), 2, "purchase", 3.0, ""),
+        ],
+        "f2",
+    )
+    # file names order batch admission (FileStreamSource sorts by path)
+    shutil.copy(glob.glob(f"{f1}/part-*.parquet")[0], stream_dir / "a.parquet")
+    shutil.copy(glob.glob(f"{f2}/part-*.parquet")[0], stream_dir / "b.parquet")
+
+    q = (
+        E.click_purchase_join_stream(
+            spark, str(stream_dir), "1 hour", "2 hours",
+            max_files_per_trigger=1,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evt_attr_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.sql("SELECT * FROM evt_attr_mb").collect()
+    ]
+    assert got == [(1, 10, 20, 9.5)]
