@@ -1188,6 +1188,15 @@ def _q_maximal_matching(spark, sf_dir):
     return greedy_matching(cp_small_edges(spark, sf_dir))
 
 
+def _q_louvain_moves(spark, sf_dir):
+    # Louvain phase-1 (synchronous modularity-gain label moves) over the
+    # full copurchase graph — exact integer gain keys, so even this
+    # heuristic is value-hash-gated against the sequential kernel
+    from dachshund_spark.operators.louvain import louvain_moves
+
+    return louvain_moves(copurchase_edges(spark, sf_dir), max_rounds=6)
+
+
 def _q_luby_mis(spark, sf_dir):
     # Luby maximal independent set of the full copurchase graph —
     # deterministic md5 per-round priorities, so even this "randomized"
@@ -2031,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_luby_mis": _q_luby_mis,
         "graph_maximal_matching": _q_maximal_matching,
         "graph_double_sweep_diameter": _q_double_sweep,
+        "graph_louvain_moves": _q_louvain_moves,
         "doc_gopher_repetition": _q_gopher_repetition,
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
@@ -2769,6 +2779,7 @@ FROM f"""
     sql["graph_luby_mis"] = O.ora_luby_mis(d, seed=0)
     sql["graph_maximal_matching"] = O.ora_greedy_matching(d)
     sql["graph_double_sweep_diameter"] = O.ora_double_sweep(d)
+    sql["graph_louvain_moves"] = O.ora_louvain_moves(d)
     sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
     sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
         d, walks=1, length=4, p=2.0, q=0.5, seed=0

@@ -1731,3 +1731,47 @@ def double_sweep_diameter(adj):
     d1 = bfs(s1)
     s2 = sorted(d1.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
     return s1, s2, max(bfs(s2).values())
+
+
+def louvain_moves(adj, max_rounds=6):
+    """Sequential mirror of operators/louvain.py:louvain_moves — same
+    integer gain key 2m*e(v,C) - deg(v)*vol(C\\v), same (key desc, c asc)
+    tie-break, same md5-parity move gate, same FIXED round count (no
+    early exit: a quiet round only proves the gated half was stable), so
+    the labels match the distributed output exactly.  Self-loops
+    ignored.  Returns {v: community}."""
+    import hashlib
+
+    nbrs = {v: sorted(n for n in ns if n != v) for v, ns in adj.items()}
+    nbrs = {v: ns for v, ns in nbrs.items() if ns}
+    m = sum(len(ns) for ns in nbrs.values()) // 2
+    if m == 0:
+        raise ValueError("louvain_moves: empty edge table")
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    labels = {v: v for v in nbrs}
+    for rnd in range(max_rounds):
+        vol: dict = {}
+        for v, c in labels.items():
+            vol[c] = vol.get(c, 0) + deg[v]
+        new_labels = {}
+        for v, ns in nbrs.items():
+            gated = (
+                int(hashlib.md5(f"{rnd}:{v}".encode()).hexdigest()[:15], 16)
+                % 2
+                == 0
+            )
+            if not gated:
+                new_labels[v] = labels[v]
+                continue
+            evc: dict = {labels[v]: 0}
+            for u in ns:
+                evc[labels[u]] = evc.get(labels[u], 0) + 1
+            best = None
+            for c, e in evc.items():
+                volx = vol[c] - (deg[v] if c == labels[v] else 0)
+                key = (-(2 * m * e - deg[v] * volx), c)
+                if best is None or key < best:
+                    best = key
+            new_labels[v] = best[1]
+        labels = new_labels
+    return labels

@@ -1,0 +1,157 @@
+"""Louvain phase-1 community detection — synchronous modularity-gain
+label moves over DataFrames (Blondel et al. 2008, "Fast unfolding of
+communities in large networks", the local-move phase).
+
+The reference's community family (clustering.rs CNM runs per-graph on the
+driver-side kernel path) has no DISTRIBUTED modularity optimizer; this is
+the standard one for web-scale link graphs (host/page community finding).
+
+Semantics (unweighted, undirected, synchronous rounds):
+
+- in round ``r`` only vertices whose deterministic md5 parity
+  ``int(md5(f"{r}:{v}")[:15], 16) % 2 == 0`` is even may move (the
+  standard distributed-Louvain symmetry breaker: full synchronous moves
+  2-cycle on symmetric graphs — two mutually-attracted vertices swap
+  labels forever; gating a pseudo-random half per round breaks every
+  such cycle as soon as one endpoint is gated off).  There is no
+  early-exit on "no moves": with gating, a quiet round only proves the
+  gated HALF was stable, so the round count is part of the spec —
+  "labels after exactly k gated synchronous rounds";
+- every gated vertex considers its neighbor communities plus staying
+  put; the
+  modularity gain of joining community C is, up to the positive constant
+  1/(2m^2), proportional to ``2m * e(v,C) - deg(v) * vol(C \\ v)`` — ALL
+  INTEGERS here (m edges, e(v,C) edges from v into C, vol = sum of
+  member degrees, minus deg(v) when v itself is in C).  Comparing the
+  integer keys instead of the float gains makes every move decision
+  exact in any engine — no float, no ties-by-ulp;
+- ties break to the smaller community id; all gated moves apply
+  simultaneously.  The output is mirrored exactly by the sequential
+  kernel (kernels.louvain_moves) — which makes even this heuristic
+  value-hash-gateable.
+
+Spark shape per round (2 data shuffles, both map-side combinable):
+
+- e(v,C): directed edge table joins the label table on dst, then one
+  (src, community) count — the big shuffle, partial-aggregated map-side
+  (hub fan-in collapses to one row per (vertex, community, partition));
+- vol(C): label table joins the static degree table, one community sum —
+  community-count-sized, broadcast back;
+- the candidate table unions an explicit "stay" row (staying needs no
+  edge into your own community), computes the integer key, and one
+  ``min(struct(-key, community))`` per vertex picks the winner.
+
+Lineage: per-round labels are ``cut_lineage`` leaves, superseded leaves
+released once the successor materializes (engine-wide discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.superstep import cut_lineage, release
+
+
+def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """Undirected edges (src, dst) -> DataFrame[v, community] after
+    exactly ``max_rounds`` gated synchronous modularity-gain label
+    moves.  Duplicate / reversed edges and self-loops are canonicalized
+    away first."""
+    canon = cut_lineage(
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = canon.count()
+    if m == 0:
+        raise ValueError("louvain_moves: empty edge table")
+    dir_e = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    dir_e = dir_e.repartition("dst").persist()
+    deg = dir_e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg")
+    )
+    deg = deg.persist()
+    deg.count()
+    labels = cut_lineage(deg.select("v", F.col("v").alias("c")))
+    def _gate(col, rnd):
+        # md5-parity move gate (mirrored bit-for-bit in the kernel)
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(rnd), col.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+
+    for rnd in range(max_rounds):
+        # the gate is applied UPSTREAM of the round's big shuffle:
+        # ungated vertices contribute no (src, community) messages at all,
+        # halving the dominant exchange instead of discarding its result
+        gated_e = dir_e.filter(_gate(F.col("src"), rnd))
+        # e(v, C): one map-side-combinable count per (gated vertex,
+        # neighbor community)
+        evc = (
+            gated_e.join(
+                labels.select(F.col("v").alias("dst"), F.col("c")), "dst"
+            )
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.count("*").alias("e"))
+        )
+        # vol(C): community-sized rollup, broadcast back (needs ALL
+        # vertices' degrees, gated or not)
+        vol = (
+            labels.join(deg, "v")
+            .groupBy("c")
+            .agg(F.sum("deg").alias("vol"))
+        )
+        cur_gated = labels.filter(_gate(F.col("v"), rnd)).select(
+            "v", F.col("c").alias("cur_c")
+        )
+        # candidates = neighbor communities UNION the explicit stay row
+        # (e=0 when v has no edge into its own community); max(e) folds
+        # the duplicate stay row when the real e(v, cur_c) exists
+        cands = (
+            evc.unionByName(
+                cur_gated.select(
+                    "v", F.col("cur_c").alias("c"), F.lit(0).alias("e")
+                )
+            )
+            .groupBy("v", "c")
+            .agg(F.max("e").alias("e"))
+        )
+        key = (
+            F.lit(2 * m) * F.col("e")
+            - F.col("deg")
+            * (F.col("vol") - F.when(F.col("c") == F.col("cur_c"), F.col("deg")).otherwise(F.lit(0)))
+        ).cast("long")
+        picked = (
+            cands.join(F.broadcast(vol), "c")
+            .join(deg, "v")
+            .join(cur_gated, "v")
+            .select("v", F.struct((-key).alias("nk"), F.col("c")).alias("cand"))
+            .groupBy("v")
+            .agg(F.min("cand").alias("best"))
+        )
+        labels_new = cut_lineage(
+            picked.select("v", F.col("best.c").alias("c")).unionByName(
+                labels.filter(~_gate(F.col("v"), rnd))
+            )
+        )
+        release(labels)
+        labels = labels_new
+    dir_e.unpersist()
+    deg.unpersist()
+    release(canon)
+    return labels.select("v", F.col("c").alias("community"))

@@ -2010,3 +2010,14 @@ def ora_pq_adc(
         [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
          ("adc_micro", "BIGINT"), ("rank", "INTEGER")],
     )
+
+
+def ora_louvain_moves(d: str, max_rounds: int = 6) -> str:
+    """Sequential Louvain-phase-1 oracle for graph_louvain_moves
+    (operators/louvain.py) over the full copurchase graph."""
+    from .functions import kernels as K
+
+    labels = K.louvain_moves(_cp_adj(d), max_rounds=max_rounds)
+    return values_sql(
+        sorted(labels.items()), [("v", "BIGINT"), ("community", "BIGINT")]
+    )
