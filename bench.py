@@ -226,6 +226,18 @@ def run_bench(
     t0 = time.time()
     anf_harmonic_centrality(cp, rounds=3, k=8).count()
     queries["anf_harmonic_t3_k8"] = round(time.time() - t0, 3)
+
+    # --- Louvain phase-1: the community-detection superstep (2 data
+    # shuffles/round, md5-parity move gate halves the big one; exact
+    # integer gain keys — see operators/louvain.py)
+    from dachshund_spark.operators.louvain import louvain_moves
+
+    t0 = time.time()
+    n_comm = (
+        louvain_moves(cp, max_rounds=6).select("community").distinct().count()
+    )
+    queries["louvain_moves_6rounds"] = round(time.time() - t0, 3)
+    extras["louvain_communities"] = n_comm
     cp.unpersist()
 
     t0 = time.time()
