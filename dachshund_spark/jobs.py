@@ -19,6 +19,9 @@ Jobs:
   coreness    edge parquet -> (v, coreness) parquet
   featurize   (graph_id, src, dst) parquet -> per-graph feature JSON
   cliques     typed-edge parquet -> wide clique rows
+  salsa       edge parquet -> (v, hub, authority) parquet
+  matching    edge parquet -> (a, b) maximal-matching parquet
+  louvain     edge parquet -> (v, community) parquet
 
 Every iterative job accepts --checkpoint-dir; when a checkpoint for the
 job name exists there, the run resumes from the latest superstep.
@@ -41,7 +44,8 @@ def main(argv=None, _spark=None):
     p.add_argument("job", choices=[
         "extract", "pagerank", "hits", "cc", "lp", "triangles", "coreness",
         "ktruss", "scc", "bowtie", "harmonic", "featurize", "cliques",
-        "sessions", "mst", "topo", "walks", "mis", "trussness",
+        "sessions", "mst", "topo", "walks", "mis", "trussness", "salsa",
+        "matching", "louvain",
     ])
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -252,6 +256,27 @@ def main(argv=None, _spark=None):
 
         edges = read_table(spark, args.input)
         write_table(luby_mis(edges, seed=args.seed), args.output)
+    elif args.job == "salsa":
+        from .operators.salsa import salsa
+
+        edges = read_table(spark, args.input)
+        # --max-iter defaults to 100, far past SALSA's practical fixpoint
+        write_table(salsa(edges, max_iter=min(args.max_iter, 50)), args.output)
+    elif args.job == "matching":
+        from .operators.matching import greedy_matching
+
+        edges = read_table(spark, args.input)
+        write_table(greedy_matching(edges), args.output)
+    elif args.job == "louvain":
+        from .operators.louvain import louvain_moves
+
+        edges = read_table(spark, args.input)
+        # fixed gated-round count is part of the spec (no early exit);
+        # default to the gate's 6 rounds rather than --max-iter's 100
+        write_table(
+            louvain_moves(edges, max_rounds=min(args.max_iter, 6)),
+            args.output,
+        )
     elif args.job == "sessions":
         # Structured Streaming end-to-end: file source -> session_window
         # aggregation -> parquet sink, bounded by the availableNow

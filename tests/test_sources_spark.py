@@ -341,3 +341,40 @@ def test_jobs_cli_mst_topo_walks(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in spark.read.parquet(opath).collect())
     assert got == sorted(K.seeded_walks(K.build_undirected_adj(dag), 2, 3, 5))
+
+
+def test_jobs_cli_salsa_matching_louvain(spark, tmp_path):
+    from dachshund_spark import jobs
+    from dachshund_spark.functions import kernels as K
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    epath = str(tmp_path / "edges")
+    spark.createDataFrame(pairs, "src long, dst long").write.parquet(epath)
+
+    spath = str(tmp_path / "salsa")
+    jobs.main(
+        ["salsa", "--input", epath, "--output", spath, "--max-iter", "4"],
+        _spark=spark,
+    )
+    got = {
+        r.v: (round(r.hub, 9), round(r.authority, 9))
+        for r in spark.read.parquet(spath).collect()
+    }
+    want = {
+        v: (round(h, 9), round(a, 9))
+        for v, (h, a) in K.salsa(pairs, max_iter=4).items()
+    }
+    assert got == want
+
+    mpath = str(tmp_path / "matching")
+    jobs.main(["matching", "--input", epath, "--output", mpath], _spark=spark)
+    got = sorted((r.a, r.b) for r in spark.read.parquet(mpath).collect())
+    assert got == K.greedy_matching(pairs)
+
+    lpath = str(tmp_path / "louvain")
+    jobs.main(
+        ["louvain", "--input", epath, "--output", lpath, "--max-iter", "6"],
+        _spark=spark,
+    )
+    got = {r.v: r.community for r in spark.read.parquet(lpath).collect()}
+    assert got == K.louvain_moves(K.build_undirected_adj(pairs), max_rounds=6)
