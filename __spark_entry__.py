@@ -1381,6 +1381,22 @@ def _q_events_sessions(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+def _q_funnel_counts(spark, sf_dir):
+    # ordered view -> click -> purchase funnel: per-stage user counts,
+    # each stage strictly after the user's previous stage
+    from dachshund_spark.streaming.events import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"))
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    # weekly retention triangle by first-seen ISO week; integer week
+    # arithmetic end to end
+    from dachshund_spark.streaming.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_weeks=8)
+
+
 def _q_hourly_counts_stream(spark, sf_dir):
     # the batch hourly tumbling-window aggregate run END-TO-END as a real
     # streaming job (file source -> watermark -> availableNow -> memory
@@ -2010,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burst_sessions_stateful": _q_burst_sessions_stateful,
         "events_hourly_counts_stream": _q_hourly_counts_stream,
         "events_click_attribution_stream": _q_click_attribution_stream,
+        "events_funnel_counts": _q_funnel_counts,
+        "events_retention_cohorts": _q_retention_cohorts,
         "doc_embedding_near_dups": _q_emb_near_dups,
         "events_user_activity": _q_user_activity,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2608,6 +2626,33 @@ JOIN events p
   ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+    sql["events_funnel_counts"] = """
+WITH tv AS (SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+tc AS (SELECT e.user_id, min(e.ts) AS t_click
+       FROM events e JOIN tv USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > tv.t_view GROUP BY 1),
+tp AS (SELECT e.user_id, min(e.ts) AS t_purchase
+       FROM events e JOIN tc USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > tc.t_click GROUP BY 1)
+SELECT 1 AS stage_ord, 'view' AS stage,
+       (SELECT count(*) FROM tv) AS n_users
+UNION ALL
+SELECT 2, 'click_after_view', (SELECT count(*) FROM tc)
+UNION ALL
+SELECT 3, 'purchase_after_click', (SELECT count(*) FROM tp)"""
+    sql["events_retention_cohorts"] = """
+WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+cohort AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY 1),
+uw AS (
+  SELECT DISTINCT ev.user_id, cohort_week,
+         CAST(datediff('day', cohort_week, w) // 7 AS INTEGER)
+           AS week_offset
+  FROM ev JOIN cohort USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM uw WHERE week_offset <= 8
+GROUP BY 1, 2"""
     sql["events_user_activity"] = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
        count(DISTINCT event_type) AS n_event_types

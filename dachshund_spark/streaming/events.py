@@ -345,3 +345,76 @@ def click_purchase_join_stream(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         "purchase_value",
     )
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: how many users reach
+    each stage, where a stage counts only if it happens STRICTLY AFTER
+    the user's previous stage (first view, first click after that view,
+    first purchase after that click).
+
+    Spark shape: three per-user conditional MIN aggregates chained by
+    user_id equi-joins — each aggregate is map-side combinable and all
+    joins share the hash(user_id) partitioning, so at any corpus size
+    this is one logical shuffle family, never a window over full event
+    history.  Returns (stage, n_users) with stage ordinal for stable
+    ordering."""
+    ev = events.select("user_id", "event_type", "ts")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    one = lambda df, s, n: df.agg(  # noqa: E731
+        F.lit(s).alias("stage_ord"),
+        F.lit(n).alias("stage"),
+        F.count("*").alias("n_users"),
+    )
+    return (
+        one(tv, 1, "view")
+        .unionByName(one(tc, 2, "click_after_view"))
+        .unionByName(one(tp, 3, "purchase_after_click"))
+    )
+
+
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen ISO week
+    (the cohort); for each later week, how many of the cohort came back.
+    (cohort_week, week_offset, n_users) with offset 0..max_weeks.
+
+    Week arithmetic is integer end to end (date_trunc('week') on both
+    engines is ISO Monday; offset = datediff(day)/7 by integer
+    division), so the result is engine-exact.  Shape: one per-user min
+    aggregate, one user->cohort broadcast-able join, one distinct, one
+    final count — all shuffles on user_id or the tiny (cohort, offset)
+    pair."""
+    ev = events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("w"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -909,3 +909,66 @@ def test_click_attribution_stream_multibatch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evt_attr_mb").collect()
     ]
     assert got == [(1, 10, 20, 9.5)]
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime
+
+    from dachshund_spark.streaming.events import funnel_counts
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + m, 1, "click", 0.0, ""),
+        (3, t0 + 2 * m, 1, "purchase", 5.0, ""),
+        # user 2: purchase BEFORE click -> reaches click stage only
+        (4, t0, 2, "view", 0.0, ""),
+        (5, t0 + m, 2, "purchase", 5.0, ""),
+        (6, t0 + 2 * m, 2, "click", 0.0, ""),
+        # user 3: click without any view -> counts for no stage
+        (7, t0, 3, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == {
+        "view": 2, "click_after_view": 2, "purchase_after_click": 1,
+    }
+
+
+def test_retention_cohort_offsets(spark):
+    import datetime
+
+    from dachshund_spark.streaming.events import retention_cohorts
+
+    mon = datetime.datetime(2024, 3, 4, 10, 0, 0)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        # user 1: weeks 0, 1, 3 of cohort A; duplicate events same week
+        (1, mon, 1, "view", 0.0, ""),
+        (2, mon + datetime.timedelta(days=2), 1, "view", 0.0, ""),
+        (3, mon + wk, 1, "view", 0.0, ""),
+        (4, mon + 3 * wk, 1, "view", 0.0, ""),
+        # user 2: cohort one week later, only week 0
+        (5, mon + wk, 2, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(
+        (str(r["cohort_week"]), r["week_offset"], r["n_users"])
+        for r in retention_cohorts(df).collect()
+    )
+    assert got == [
+        ("2024-03-04 00:00:00", 0, 1),
+        ("2024-03-04 00:00:00", 1, 1),
+        ("2024-03-04 00:00:00", 3, 1),
+        ("2024-03-11 00:00:00", 0, 1),
+    ]
