@@ -1197,6 +1197,16 @@ def _q_louvain_moves(spark, sf_dir):
     return louvain_moves(copurchase_edges(spark, sf_dir), max_rounds=6)
 
 
+def _q_louvain_modularity(spark, sf_dir):
+    # exact-integer Newman modularity of the Louvain labels: Q as
+    # q_num/q_den BIGINTs plus the single-division float — the quality
+    # readout that makes the heuristic's output auditable
+    from dachshund_spark.operators.louvain import louvain_moves, modularity
+
+    edges = copurchase_edges(spark, sf_dir)
+    return modularity(edges, louvain_moves(edges, max_rounds=6))
+
+
 def _q_luby_mis(spark, sf_dir):
     # Luby maximal independent set of the full copurchase graph —
     # deterministic md5 per-round priorities, so even this "randomized"
@@ -2059,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_maximal_matching": _q_maximal_matching,
         "graph_double_sweep_diameter": _q_double_sweep,
         "graph_louvain_moves": _q_louvain_moves,
+        "graph_louvain_modularity": _q_louvain_modularity,
         "doc_gopher_repetition": _q_gopher_repetition,
         "graph_node2vec_walks": _q_node2vec_walks,
         "events_user_sample": _q_user_sample,
@@ -2825,6 +2836,7 @@ FROM f"""
     sql["graph_maximal_matching"] = O.ora_greedy_matching(d)
     sql["graph_double_sweep_diameter"] = O.ora_double_sweep(d)
     sql["graph_louvain_moves"] = O.ora_louvain_moves(d)
+    sql["graph_louvain_modularity"] = O.ora_louvain_modularity(d)
     sql["doc_gopher_repetition"] = O.ora_gopher_repetition(d)
     sql["graph_node2vec_walks"] = O.ora_node2vec_walks(
         d, walks=1, length=4, p=2.0, q=0.5, seed=0

@@ -1775,3 +1775,25 @@ def louvain_moves(adj, max_rounds=6):
             new_labels[v] = best[1]
         labels = new_labels
     return labels
+
+
+def modularity_of(adj, labels):
+    """Sequential mirror of operators/louvain.py:modularity — exact
+    integer numerator/denominator, same single IEEE division.  Returns
+    (n_communities, q_num, q_den, modularity)."""
+    nbrs = {v: {n for n in ns if n != v} for v, ns in adj.items()}
+    canon = {(min(v, u), max(v, u)) for v, ns in nbrs.items() for u in ns}
+    m = len(canon)
+    if m == 0:
+        raise ValueError("modularity_of: empty edge table")
+    deg = {v: len(ns) for v, ns in nbrs.items() if ns}
+    e_in: dict = {}
+    for a, b in canon:
+        if labels[a] == labels[b]:
+            e_in[labels[a]] = e_in.get(labels[a], 0) + 1
+    vol: dict = {}
+    for v, d in deg.items():
+        vol[labels[v]] = vol.get(labels[v], 0) + d
+    q_num = sum(4 * m * e_in.get(c, 0) - vol[c] * vol[c] for c in vol)
+    q_den = 4 * m * m
+    return len(vol), q_num, q_den, q_num / q_den

@@ -155,3 +155,58 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
     deg.unpersist()
     release(canon)
     return labels.select("v", F.col("c").alias("community"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a labeling, as EXACT INTEGERS:
+    Q = sum_C [e_in(C)/m - (vol(C)/2m)^2]
+      = sum_C [4m*e_in(C) - vol(C)^2] / (4m^2)  — numerator and
+    denominator are BIGINTs, so the quality readout is engine-exact; the
+    float ``modularity`` column is the single correctly-rounded IEEE
+    division q_num/q_den.  One row:
+    (n_communities, q_num, q_den, modularity).
+
+    Shape: a canonical-edge double label join for e_in(C) (both sides
+    broadcast-able when the label table is small; equi-joins on vertex id
+    otherwise), a community-sized degree rollup for vol(C), one final
+    single-row aggregate."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = canon.count()
+    if m == 0:
+        raise ValueError("modularity: empty edge table")
+    lab = labels.select("v", F.col(labels.columns[1]).alias("c"))
+    dir_e = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dir_e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    e_in = (
+        canon.join(lab.select(F.col("v").alias("a"), F.col("c").alias("ca")), "a")
+        .join(lab.select(F.col("v").alias("b"), F.col("c").alias("cb")), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    vol = (
+        lab.join(deg, "v").groupBy("c").agg(F.sum("deg").alias("vol"))
+    )
+    per_c = vol.join(e_in, "c", "left").select(
+        "c",
+        (
+            F.lit(4 * m) * F.coalesce(F.col("e_in"), F.lit(0))
+            - F.col("vol") * F.col("vol")
+        ).cast("long").alias("contrib"),
+    )
+    q_den = 4 * m * m
+    return per_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum("contrib").cast("long").alias("q_num"),
+        F.lit(q_den).cast("long").alias("q_den"),
+        (F.sum("contrib").cast("double") / F.lit(float(q_den))).alias("modularity"),
+    )

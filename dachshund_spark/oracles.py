@@ -2021,3 +2021,19 @@ def ora_louvain_moves(d: str, max_rounds: int = 6) -> str:
     return values_sql(
         sorted(labels.items()), [("v", "BIGINT"), ("community", "BIGINT")]
     )
+
+
+def ora_louvain_modularity(d: str, max_rounds: int = 6) -> str:
+    """Exact-integer modularity oracle for graph_louvain_modularity:
+    kernel louvain labels -> kernel modularity, same integers, same
+    single IEEE division."""
+    from .functions import kernels as K
+
+    adj = _cp_adj(d)
+    labels = K.louvain_moves(adj, max_rounds=max_rounds)
+    n, q_num, q_den, q = K.modularity_of(adj, labels)
+    return values_sql(
+        [(n, q_num, q_den, q)],
+        [("n_communities", "BIGINT"), ("q_num", "BIGINT"),
+         ("q_den", "BIGINT"), ("modularity", "DOUBLE")],
+    )
