@@ -40,6 +40,19 @@ def extract_outlinks_udf(html: pd.Series) -> pd.Series:
     return decoded.str.findall(_HREF_RE)
 
 
+# Mark the extraction UDFs non-deterministic (they ARE deterministic;
+# this is an optimizer fence): a downstream ``explode(outlinks)`` makes
+# Catalyst infer ``size(outlinks) > 0 AND isnotnull(outlinks)`` and push
+# that filter BELOW the projection, duplicating the ArrowEvalPython node —
+# every page then pays html synthesis + Python transfer + regex twice
+# (observed as two ArrowEvalPython nodes in the edge-materialization
+# plan).  Non-deterministic expressions may not be duplicated or
+# reordered, so the plan keeps a single evaluation (spark optimization
+# guide §4.4: mark expensive UDFs non-deterministic).
+extract_text_udf = extract_text_udf.asNondeterministic()
+extract_outlinks_udf = extract_outlinks_udf.asNondeterministic()
+
+
 def reference_extract_text(html_bytes: bytes) -> str:
     """Pinned single-row oracle for the byte-identical invariant."""
     m = _TEXT_RE.search(html_bytes.decode("utf-8", errors="replace"))

@@ -115,6 +115,93 @@ def sample_sources_py(vertex_ids, max_sources: int, seed: int) -> list[int]:
     return [v for _, v in ranked[:max_sources]]
 
 
+def _csr_from_canonical(src, dst):
+    """Canonical (src<dst, distinct, loop-free) edge arrays -> dense CSR
+    (ids, indptr, nbrs) with neighbor lists sorted ascending by id.
+
+    The dense-id neighbor order equals ``sorted(adj[v])`` iteration over
+    the dict-of-sets adjacency (ids are sorted, searchsorted is monotone),
+    which is what makes ``_brandes_csr`` float-exact against the kernel.
+    ~50 bytes/edge of numpy arrays instead of ~400 bytes/edge of Python
+    sets — the per-task memory footprint that made 32 concurrent workers
+    memory-bandwidth-bound (guide §4.2: hand whole batches to native
+    code)."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([src, dst]))
+    a = np.searchsorted(ids, src).astype(np.int64)
+    b = np.searchsorted(ids, dst).astype(np.int64)
+    heads = np.concatenate([a, b])
+    tails = np.concatenate([b, a])
+    order = np.lexsort((tails, heads))
+    heads = heads[order]
+    tails = tails[order]
+    n = len(ids)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(heads, minlength=n), out=indptr[1:])
+    return ids, indptr, tails
+
+
+# sigma is carried as float64: path counts are exact integers up to 2^53
+# (the same representation betweenness_superstep ships through Spark SQL).
+# A source whose max sigma reaches this bound falls back to the bigint
+# dict kernel so the operator NEVER silently loses precision.
+_SIGMA_EXACT_BOUND = float(2**53)
+
+
+def _brandes_csr(indptr, nbrs, n, s, delta_out):
+    """One Brandes source pass over the CSR adjacency, accumulating
+    dependencies into ``delta_out`` (in-place) — a float-EXACT mirror of
+    ``kernels.brandes_single_source``:
+
+    * BFS dequeues in the same order (neighbors scanned sorted-ascending),
+      so the visit stack is identical;
+    * sigma additions are integer-valued float adds (exact, any order);
+    * the backward pass pops the stack in the same reverse order and for
+      each popped w updates its predecessors vectorized — every delta[p]
+      receives the SAME contributions in the SAME w-order as the kernel's
+      ``for p in preds[w]`` loop (contributions within one w go to
+      distinct p's, so their relative order cannot affect any sum);
+    * the per-(p, w) term ``(0.5 + delta[w]) * (sigma[p] / sigma[w])``
+      is computed with the same operand order.
+
+    Returns the max sigma so the caller can enforce the exactness bound.
+    Parity is pinned by tests (random fixtures + real-graph spot check).
+    """
+    import numpy as np
+
+    sigma = np.zeros(n)
+    sigma[s] = 1.0
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[s] = 0
+    order = np.empty(n, dtype=np.int64)
+    order[0] = s
+    head, tail = 0, 1
+    while head < tail:
+        v = order[head]
+        head += 1
+        nb = nbrs[indptr[v]:indptr[v + 1]]
+        new = nb[dist[nb] < 0]
+        dv1 = dist[v] + 1
+        if new.size:
+            dist[new] = dv1
+            order[tail:tail + new.size] = new
+            tail += new.size
+        upd = nb[dist[nb] == dv1]
+        if upd.size:
+            sigma[upd] += sigma[v]
+    delta = np.zeros(n)
+    for i in range(tail - 1, 0, -1):
+        w = order[i]
+        nb = nbrs[indptr[w]:indptr[w + 1]]
+        pp = nb[dist[nb] == dist[w] - 1]
+        if pp.size:
+            delta[pp] += (0.5 + delta[w]) * (sigma[pp] / sigma[w])
+    delta[s] = 0.0
+    delta_out += delta
+    return float(sigma[order[:tail]].max())
+
+
 def _hadoop_delete(spark, path: str) -> None:
     """Delete a scratch path through the Hadoop FileSystem API — resolves
     the path's own scheme, so it works for local dirs AND cluster URIs
@@ -232,29 +319,96 @@ def betweenness(
         n_part = max(spark.sparkContext.defaultParallelism, 8)
         src_df = src_df.repartition(n_part)
 
+        def _build_csr_shared(_):
+            """One task builds the CSR ONCE and publishes it as .npy files
+            next to the scratch parquet; every source task then mmap-loads
+            the shared read-only arrays instead of re-deriving the same
+            CSR from parquet N-tasks times (at 32 concurrent workers the
+            redundant builds were memory-bandwidth-bound, not CPU-bound).
+            Best-effort: a scratch FS numpy cannot address (object-store
+            URI) simply leaves the files absent and tasks fall back."""
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            try:
+                tbl = pq.read_table(path, columns=["src", "dst"])
+                ids, indptr, nbrs = _csr_from_canonical(
+                    tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+                )
+                np.save(os.path.join(path, "_csr_ids.npy"), ids)
+                np.save(os.path.join(path, "_csr_indptr.npy"), indptr)
+                np.save(
+                    os.path.join(path, "_csr_nbrs.npy"),
+                    nbrs.astype(np.int32),
+                    # int32 is always safe: dense ids < 2 * edge_budget
+                )
+                return [True]
+            except Exception:
+                return [False]
+
+        spark.sparkContext.parallelize([0], 1).mapPartitions(
+            _build_csr_shared
+        ).count()
+
         def run_sources(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
+            import numpy as np
             import pyarrow.parquet as pq
 
-            from ..functions.kernels import (
-                brandes_single_source,
-                build_undirected_adj,
-            )
-
-            tbl = pq.read_table(path, columns=["src", "dst"])
-            adj = build_undirected_adj(
-                list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
-            )
-            acc: dict[int, float] = {}
+            src_a = dst_a = None
+            try:
+                ids = np.load(os.path.join(path, "_csr_ids.npy"), mmap_mode="r")
+                indptr = np.load(
+                    os.path.join(path, "_csr_indptr.npy"), mmap_mode="r"
+                )
+                nbrs = np.load(
+                    os.path.join(path, "_csr_nbrs.npy"), mmap_mode="r"
+                )
+            except Exception:
+                tbl = pq.read_table(path, columns=["src", "dst"])
+                src_a = tbl["src"].to_numpy()
+                dst_a = tbl["dst"].to_numpy()
+                ids, indptr, nbrs = _csr_from_canonical(src_a, dst_a)
+            acc = np.zeros(len(ids))
+            fallback_adj = None
+            ran = False
             for pdf in batches:
                 for s in pdf["source"]:
-                    for nid, dep in brandes_single_source(adj, int(s)).items():
-                        acc[nid] = acc.get(nid, 0.0) + dep
-            if acc:
-                yield pd.DataFrame(
-                    {"v": list(acc.keys()), "partial": list(acc.values())}
-                )
+                    ran = True
+                    si = int(np.searchsorted(ids, int(s)))
+                    before = acc.copy()
+                    max_sigma = _brandes_csr(indptr, nbrs, len(ids), si, acc)
+                    if max_sigma >= _SIGMA_EXACT_BOUND:
+                        # path counts outgrew exact float64: redo this
+                        # source with the bigint dict kernel (slow, exact)
+                        from ..functions.kernels import (
+                            brandes_single_source,
+                            build_undirected_adj,
+                        )
+
+                        if fallback_adj is None:
+                            if src_a is None:
+                                t = pq.read_table(path, columns=["src", "dst"])
+                                sa, da = (
+                                    t["src"].to_numpy(), t["dst"].to_numpy()
+                                )
+                            else:
+                                sa, da = src_a, dst_a
+                            fallback_adj = build_undirected_adj(
+                                list(zip(sa.tolist(), da.tolist()))
+                            )
+                        acc = before
+                        dense = {int(x): i for i, x in enumerate(ids)}
+                        for nid, dep in brandes_single_source(
+                            fallback_adj, int(s)
+                        ).items():
+                            acc[dense[nid]] += dep
+            if ran:
+                nz = np.nonzero(acc)[0]
+                # zero-dependency vertices are restored by the caller's
+                # left join + coalesce(0.0); shuffling them adds nothing
+                yield pd.DataFrame({"v": ids[nz], "partial": acc[nz]})
 
         partials = src_df.mapInPandas(run_sources, "v long, partial double")
         summed = partials.groupBy("v").agg(

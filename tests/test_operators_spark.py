@@ -485,3 +485,44 @@ def test_scc_cut_policies_agree_and_deferred_release(spark):
     assert w1.storageLevel.useMemory  # still cached pre-release
     release(prod)
     assert not w1.storageLevel.useMemory  # window freed WITH the product
+
+
+def test_csr_brandes_exact_parity_with_kernel():
+    """The operator-side CSR Brandes fast path (operators.centrality)
+    must be FLOAT-EXACT against the pure-Python kernel oracle on random
+    graphs: same visit order, same accumulation order, bit-equal
+    dependencies (the gate hashes would catch any ulp drift only at the
+    rounding boundary — this pins it everywhere)."""
+    import random
+
+    import numpy as np
+
+    from dachshund_spark.operators.centrality import (
+        _brandes_csr,
+        _csr_from_canonical,
+    )
+
+    rng = random.Random(11)
+    for _ in range(4):
+        n_v = rng.randint(20, 150)
+        edges = set()
+        for _ in range(rng.randint(30, 500)):
+            u, v = rng.randrange(n_v), rng.randrange(n_v)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        edges = sorted(edges)
+        src = np.array([e[0] for e in edges], dtype=np.int64)
+        dst = np.array([e[1] for e in edges], dtype=np.int64)
+        adj = K.build_undirected_adj(edges)
+        ids, indptr, nbrs = _csr_from_canonical(src, dst)
+        idx = {int(x): i for i, x in enumerate(ids)}
+        for s in sorted(adj)[:15]:
+            ref = K.brandes_single_source(adj, s)
+            out = np.zeros(len(ids))
+            _brandes_csr(indptr, nbrs.astype(np.int32), len(ids), idx[s], out)
+            for nid, dep in ref.items():
+                assert out[idx[nid]] == dep  # exact, not approx
+            # nonzero support matches too (operator ships only nonzeros)
+            assert {int(ids[i]) for i in np.nonzero(out)[0]} == {
+                k for k, val in ref.items() if val != 0.0
+            }
