@@ -88,7 +88,10 @@ def anf_sketches(edges: DataFrame, rounds: int = 3, k: int = 8) -> DataFrame:
     )
     aggs = [F.bit_or(r).alias(r) for r in regs]
     for _ in range(rounds):
-        msgs = sym.join(state, sym.dst == state.v).select(
+        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
+        # planner broadcasts the cached edge table every round (serial
+        # |E|-row build) — hinted, only the sketch state shuffles
+        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
             F.col("src").alias("v"), *regs
         )
         new_state = cut_lineage(
@@ -177,7 +180,10 @@ def _nf_totals(edges: DataFrame, rounds: int, k: int) -> list[float]:
 
     totals = [_total(state)]
     for _ in range(rounds):
-        msgs = sym.join(state, sym.dst == state.v).select(
+        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
+        # planner broadcasts the cached edge table every round (serial
+        # |E|-row build) — hinted, only the sketch state shuffles
+        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
             F.col("src").alias("v"), *regs
         )
         new_state = cut_lineage(
@@ -281,7 +287,10 @@ def anf_harmonic_centrality(
         F.max("h").alias("h"),
     ]
     for t in range(1, rounds + 1):
-        msgs = sym.join(state, sym.dst == state.v).select(
+        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
+        # planner broadcasts the cached edge table every round (serial
+        # |E|-row build) — hinted, only the sketch state shuffles
+        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
             F.col("src").alias("v"),
             *regs,
             F.lit(None).cast("double").alias("e_prev"),

@@ -464,6 +464,18 @@ def betweenness_superstep(
     sym.count()
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
+    # level leaves feed the NEXT depth's fan-out join map-side (the edge
+    # side is broadcast when it fits, so there is no exchange to re-spread
+    # them): left to AQE, the leaf inherits the coalesced partition count
+    # of the aggregate that produced it (optimized for THAT stage's
+    # output size), pinning the widest |frontier| x deg probe of the next
+    # action to a handful of cores (measured: 8-task stages of 84-148s
+    # pure CPU while 24 cores idled).  Each new level is therefore
+    # explicitly hash-repartitioned to the session's shuffle parallelism
+    # — one cheap O(|level|) exchange buys a fully parallel fan-out.
+    n_level_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
 
     # forward: levels[d] = the depth-d frontier (source, v, sigma), each a
     # separate cut_lineage product.  Per-depth checkpoint I/O is the NEW
@@ -484,20 +496,33 @@ def betweenness_superstep(
             )
         )
     ]
+    # (An anti-join-BEFORE-aggregate variant — broadcast the visited set
+    # and drop already-visited targets before the sigma aggregate — was
+    # measured and REJECTED: rebuilding the O(|S| x |V|)-row visited
+    # broadcast every depth cost more than the aggregate it saved, 54s ->
+    # 104s at sf0.1.  Aggregate-first is also the only order that scales
+    # past a broadcastable visited set.)
     depth = 0
     while depth < max_depth:
         frontier = levels[depth]
+        # NOTE: deliberately NOT shuffle_hash-hinted (unlike the single-
+        # vector supersteps): the frontier here is (source, v) pairs — up
+        # to |S|x|V| rows, routinely BIGGER than the edge table — so
+        # letting the planner broadcast the (known-size) edge side when it
+        # fits beats shuffling the fat frontier (measured: hinting this
+        # join 54s -> 84s at sf0.1); past the broadcast threshold the
+        # planner degrades to SMJ on its own.
         msgs = frontier.join(sym, frontier.v == sym.src).select(
             "source", F.col("dst").alias("v"), "sigma"
         )
-        cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
         visited = levels[0].select("source", "v")
         for lv in levels[1:]:
             visited = visited.union(lv.select("source", "v"))
+        cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
         new = cut_lineage(
-            cand.join(visited, ["source", "v"], "left_anti").select(
-                "source", "v", "sigma"
-            )
+            cand.join(visited, ["source", "v"], "left_anti")
+            .select("source", "v", "sigma")
+            .repartition(n_level_parts, "source", "v")
         )
         if new.count() == 0:
             release(new)
@@ -636,6 +661,9 @@ def harmonic_centrality(
     sym.count()
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
+    n_level_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
 
     levels = [
         cut_lineage(src_df.select("source", F.col("source").alias("v")))
@@ -651,7 +679,14 @@ def harmonic_centrality(
         visited = levels[0]
         for lv in levels[1:]:
             visited = visited.union(lv)
-        new = cut_lineage(msgs.join(visited, ["source", "v"], "left_anti"))
+        # repartition: see betweenness_superstep — level leaves drive the
+        # next depth's broadcast-probe fan-out map-side, so they must not
+        # inherit an AQE-coalesced (tiny) partition count
+        new = cut_lineage(
+            msgs.join(visited, ["source", "v"], "left_anti").repartition(
+                n_level_parts, "source", "v"
+            )
+        )
         if new.count() == 0:
             release(new)
             break

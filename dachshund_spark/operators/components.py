@@ -60,8 +60,13 @@ def connected_components(
 
     def step(state: DataFrame, i: int):
         frontier = state.filter("active").select("v", "component")
+        # shuffle_hash: shuffle the O(frontier) labels against the cached
+        # src-partitioned adjacency instead of a serial driver-built
+        # broadcast per superstep (pagerank's rank-vector discipline —
+        # measured faster above ~100k vertices, and the only shape that
+        # survives a frontier too large to broadcast)
         msgs = (
-            adj.join(frontier, adj.src == frontier.v)
+            adj.join(frontier.hint("shuffle_hash"), adj.src == frontier.v)
             .select(F.col("dst").alias("v"), "component")
         )
         best = msgs.groupBy("v").agg(F.min("component").alias("cand"))
@@ -295,8 +300,11 @@ def _bidirectional_min_labels(
     pending: list[DataFrame] = []
     converged = False
     for i in range(max_iter):
+        # shuffle_hash: on cut rounds the state leaf has no size stats and
+        # the planner would broadcast the cached adjacency (serial 2|E|-row
+        # build); hinted, only the O(|V|) label state shuffles
         msgs = (
-            adj.join(state, adj.src == state.v)
+            adj.join(state.hint("shuffle_hash"), adj.src == state.v)
             .filter(
                 (F.col("isf") & F.col("cf")) | (~F.col("isf") & F.col("cb"))
             )

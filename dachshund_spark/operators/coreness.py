@@ -219,7 +219,15 @@ def coreness(
             # per-round driver floor is stage count, not bytes, at the
             # bench scale).  Vertices with no changed neighbor are
             # filtered after the h aggregate via max(nbchg).
-            msgs = sym.join(state, sym.src == state.v).select(
+            # shuffle_hash on the state side: the cut leaf carries no size
+            # stats, so without the hint the planner broadcasts the
+            # (known-size, under-threshold) CACHED EDGE TABLE instead —
+            # a serial |E|-row broadcast build EVERY round.  The hinted
+            # plan shuffles only the O(|V|) state against the cached
+            # src-partitioned edges (pagerank's rank-vector discipline,
+            # pagerank.py:176-180) and is the only shape that survives
+            # |E| past any broadcast threshold.
+            msgs = sym.join(state.hint("shuffle_hash"), sym.src == state.v).select(
                 F.col("dst").alias("v"),
                 F.col("est").alias("nb"),
                 "chg",
@@ -255,7 +263,7 @@ def coreness(
             )
             msgs = (
                 sym.join(cand.withColumnRenamed("v", "dst"), "dst", "left_semi")
-                .join(est, sym.src == est.v)
+                .join(est.hint("shuffle_hash"), sym.src == est.v)
                 .select(F.col("dst").alias("v"), F.col("est").alias("nb"))
             )
             # h-index over compressed (distinct value, count) pairs:
@@ -268,7 +276,9 @@ def coreness(
                 .agg(F.max(F.least(F.col("cum"), F.col("nb"))).alias("h"))
             )
         new_state = (
-            est.join(h, "v", "left")
+            # shuffle_hash: build the (frontier-sized) h side per
+            # partition instead of sort-merging both sides
+            est.join(h.hint("shuffle_hash"), "v", "left")
             .select(
                 "v",
                 F.least(

@@ -61,8 +61,14 @@ def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
               from_key: str, to_key: str) -> tuple[DataFrame, float]:
         """One half-step: sum st.s/scale over edges onto ``to_key``;
         returns the new un-normalized leaf and its L1 total."""
+        # shuffle_hash on the state side: the cut-leaf state has no size
+        # stats, so the planner would otherwise broadcast the (known-size,
+        # under-threshold) cached edge table — a serial |E|-row broadcast
+        # build per half-step.  Hinted, only the O(|V|) vector shuffles
+        # against the pre-partitioned edges (pagerank's discipline).
         msgs = ev.join(
-            st.select(F.col("v").alias(from_key), "s"), from_key
+            st.select(F.col("v").alias(from_key), "s").hint("shuffle_hash"),
+            from_key,
         ).select(F.col(to_key).alias("v"), (F.col("s") / F.lit(scale)).alias("m"))
         out = cut_lineage(msgs.groupBy("v").agg(F.sum("m").alias("s")))
         total = out.agg(F.sum("s").alias("t")).collect()[0]["t"]

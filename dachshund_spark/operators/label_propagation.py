@@ -38,7 +38,10 @@ def label_propagation(
     )
 
     def step(state: DataFrame, i: int):
-        msgs = adj.join(state, adj.src == state.v).select(
+        # shuffle_hash: shuffle the O(|V|) label vector against the cached
+        # src-partitioned adjacency instead of a serial per-round broadcast
+        # build (pagerank's rank-vector discipline)
+        msgs = adj.join(state.hint("shuffle_hash"), adj.src == state.v).select(
             F.col("dst").alias("v"), "label"
         )
         counts = msgs.groupBy("v", "label").agg(F.count("*").alias("cnt"))

@@ -102,9 +102,17 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         gated_e = dir_e.filter(_gate(F.col("src"), rnd))
         # e(v, C): one map-side-combinable count per (gated vertex,
         # neighbor community)
+        # shuffle_hash on the label side: the cut-leaf label table has no
+        # size stats, so the planner would broadcast the (known-size,
+        # under-threshold) gated edge filter instead — a serial |E|/2-row
+        # broadcast build per round; hinted, only the O(|V|) labels shuffle
+        # against the cached dst-partitioned edges
         evc = (
             gated_e.join(
-                labels.select(F.col("v").alias("dst"), F.col("c")), "dst"
+                labels.select(F.col("v").alias("dst"), F.col("c")).hint(
+                    "shuffle_hash"
+                ),
+                "dst",
             )
             .groupBy(F.col("src").alias("v"), "c")
             .agg(F.count("*").alias("e"))
