@@ -33,6 +33,21 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the cluster's default
+    parallelism — only when the scan yields fewer partitions (a one-row-
+    group parquet file otherwise pins the whole shingle/hash pipeline to
+    one task: the per-row compute here is orders of magnitude heavier
+    than the scan, so a serial scan stage serializes the query).  At
+    corpus scale the input has >= parallelism splits and this is a no-op
+    with zero shuffle; the keyless repartition is deterministic (Spark
+    sorts before round-robin partitioning, SPARK-23207)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
     (rep_doc_id, dup_count, fingerprint) for groups with >1 member."""
@@ -65,7 +80,7 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select(
+    return spread_small_input(docs).select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     )
 

@@ -424,10 +424,13 @@ def strongly_connected_components(
         while trim and n_left > 0:
             srcs = cur.select(F.col("src").alias("v")).distinct()
             dsts = cur.select(F.col("dst").alias("v")).distinct()
+            # lazy cut: the count below materializes the checkpoint in the
+            # same job (one driver action per trim layer instead of two)
             trivial = cut_lineage(
                 remaining.join(srcs, "v", "left_anti")
                 .union(remaining.join(dsts, "v", "left_anti"))
-                .distinct()
+                .distinct(),
+                eager=False,
             )
             k = trivial.count()
             if k == 0:

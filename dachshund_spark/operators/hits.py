@@ -70,7 +70,12 @@ def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
             st.select(F.col("v").alias(from_key), "s").hint("shuffle_hash"),
             from_key,
         ).select(F.col(to_key).alias("v"), (F.col("s") / F.lit(scale)).alias("m"))
-        out = cut_lineage(msgs.groupBy("v").agg(F.sum("m").alias("s")))
+        # lazy cut + leaf-scan aggregate in ONE job (the aggregate
+        # materializes the checkpoint): halves the driver actions per
+        # half-step vs the old eager-cut-then-aggregate pair
+        out = cut_lineage(
+            msgs.groupBy("v").agg(F.sum("m").alias("s")), eager=False
+        )
         total = out.agg(F.sum("s").alias("t")).collect()[0]["t"]
         return out, float(total)
 

@@ -134,8 +134,16 @@ def kmeans_lloyd(
                 cents[c] = [
                     _div_trunc(*by_c[c][d]) for d in range(dim)
                 ]
-        return emb.select(
-            id_col, _assign_udf(cents)(F.col(emb_col)).alias("cluster")
+        # cut lineage on the final assignment BEFORE the finally releases
+        # the emb cache: the old code unpersisted first, so the caller's
+        # action recomputed the whole input lineage from source —
+        # forfeiting the cache the iterations paid to build
+        from ..plans.superstep import cut_lineage
+
+        return cut_lineage(
+            emb.select(
+                id_col, _assign_udf(cents)(F.col(emb_col)).alias("cluster")
+            )
         )
     finally:
         emb.unpersist()

@@ -57,7 +57,15 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
     """Undirected edges (src, dst) -> DataFrame[v, community] after
     exactly ``max_rounds`` gated synchronous modularity-gain label
     moves.  Duplicate / reversed edges and self-loops are canonicalized
-    away first."""
+    away first.
+
+    Integer-domain bound: the BIGINT gain key ``2m*e - deg*vol`` (and the
+    ``modularity`` readout's ``vol^2``) stays inside int64 only while
+    ``m <= ~1.5e9`` edges (vol <= 2m, so vol^2 < 2^63 requires
+    m < 2^30.5).  Past that, Spark 4's ANSI mode aborts rather than
+    silently wrapping; shard such graphs or widen the key to
+    DECIMAL(38,0) (at a measured ~2x aggregate cost, which is why the
+    int64 fast path is the default)."""
     canon = cut_lineage(
         edges.select(
             F.least("src", "dst").alias("a"),

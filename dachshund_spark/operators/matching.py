@@ -93,7 +93,13 @@ def greedy_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         release(live)
         live = new_live
     else:
-        raise RuntimeError(f"greedy_matching: not converged in {max_rounds} rounds")
+        # the loop guard only checks emptiness at the TOP of each round: a
+        # run whose final permitted round empties the edge set has
+        # converged even though the for clause exhausted
+        if not live.isEmpty():
+            raise RuntimeError(
+                f"greedy_matching: not converged in {max_rounds} rounds"
+            )
     out = live.limit(0).select("a", "b")
     for leaf in won_leaves:
         out = out.union(leaf.select("a", "b"))

@@ -166,9 +166,14 @@ def pagerank(
             F.col("nd").isNull().alias("dangling"),
         )
     state0 = state0.persist()
-    dangling_mass = (
-        state0.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
-    )
+    # one setup aggregate: dangling mass AND the dangling-existence flag
+    # (formerly a separate limit(1).count() against the static cache)
+    row0 = state0.agg(
+        F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("dm"),
+        F.max(F.col("dangling").cast("int")).alias("hd"),
+    ).collect()[0]
+    dangling_mass = row0["dm"] or 0.0
+    has_dangling = bool(row0["hd"])
     carried = {"dangling_mass": dangling_mass}
 
     # rank-vector join strategy: broadcasting n rank rows is a serial
@@ -225,8 +230,8 @@ def pagerank(
         static = static.join(pvec, "v")
     static = static.repartition("v").persist()
     # (hash-partitioned on v so the per-sub-iteration full-vertex left join
-    # reuses the cached layout instead of re-exchanging every superstep)
-    has_dangling = static.filter("dangling").limit(1).count() > 0
+    # reuses the cached layout instead of re-exchanging every superstep;
+    # the cache materializes with the first superstep's join)
     effective_block = block_size if not has_dangling else 1
     # with dangling vertices the per-step mass depends on the previous
     # state twice (contributions + dangling sum), which cannot be chained

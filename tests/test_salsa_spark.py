@@ -18,14 +18,16 @@ def test_salsa_matches_kernel(spark):
         - {(v, v) for v in range(23)}
     )
     got = {
-        r["v"]: (round(r["hub"], 9), round(r["authority"], 9))
+        r["v"]: (r["hub"], r["authority"])
         for r in salsa(_edges(spark, pairs), max_iter=6).collect()
     }
-    want = {
-        v: (round(h, 9), round(a, 9))
-        for v, (h, a) in K.salsa(pairs, max_iter=6).items()
-    }
-    assert got == want
+    want = K.salsa(pairs, max_iter=6)
+    # tolerance, not round-then-equal: the Spark sums accumulate in
+    # partition order while the kernel is sequential, so a value adjacent
+    # to a rounding boundary could flip the 9th digit nondeterministically
+    assert set(got) == set(want)
+    for v, (h, a) in want.items():
+        assert abs(got[v][0] - h) <= 1e-9 and abs(got[v][1] - a) <= 1e-9
 
 
 def test_salsa_stationary_is_degree_proportional(spark):
