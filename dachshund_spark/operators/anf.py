@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import cut_lineage, release
+from ..plans.superstep import cut_lineage, release, superstep_state_side
 from .builders import symmetrized
 
 FM_PHI = 0.77351  # Flajolet-Martin bias correction constant
@@ -86,12 +86,15 @@ def anf_sketches(edges: DataFrame, rounds: int = 3, k: int = 8) -> DataFrame:
         .distinct()
         .selectExpr("v", *_init_register_exprs(k))
     )
+    n_verts = state.count()  # sets the state-side join strategy
     aggs = [F.bit_or(r).alias(r) for r in regs]
     for _ in range(rounds):
-        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
-        # planner broadcasts the cached edge table every round (serial
-        # |E|-row build) — hinted, only the sketch state shuffles
-        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
+        # deliberate state-side strategy (superstep_state_side): unhinted,
+        # the stats-free cut leaf makes the planner broadcast the cached
+        # edge table every round (serial |E|-row build)
+        msgs = sym.join(
+            superstep_state_side(state, n_verts), sym.dst == state.v
+        ).select(
             F.col("src").alias("v"), *regs
         )
         new_state = cut_lineage(
@@ -172,6 +175,7 @@ def _nf_totals(edges: DataFrame, rounds: int, k: int) -> list[float]:
         .distinct()
         .selectExpr("v", *_init_register_exprs(k))
     )
+    n_verts = state.count()  # sets the state-side join strategy
     aggs = [F.bit_or(r).alias(r) for r in regs]
 
     def _total(st: DataFrame) -> float:
@@ -180,10 +184,12 @@ def _nf_totals(edges: DataFrame, rounds: int, k: int) -> list[float]:
 
     totals = [_total(state)]
     for _ in range(rounds):
-        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
-        # planner broadcasts the cached edge table every round (serial
-        # |E|-row build) — hinted, only the sketch state shuffles
-        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
+        # deliberate state-side strategy (superstep_state_side): unhinted,
+        # the stats-free cut leaf makes the planner broadcast the cached
+        # edge table every round (serial |E|-row build)
+        msgs = sym.join(
+            superstep_state_side(state, n_verts), sym.dst == state.v
+        ).select(
             F.col("src").alias("v"), *regs
         )
         new_state = cut_lineage(
@@ -282,15 +288,18 @@ def anf_harmonic_centrality(
         .selectExpr("v", *_init_register_exprs(k))
         .selectExpr("v", *regs, f"{est} as e_prev", "cast(0.0 as double) as h")
     )
+    n_verts = state.count()  # sets the state-side join strategy
     aggs = [F.bit_or(r).alias(r) for r in regs] + [
         F.max("e_prev").alias("e_prev"),
         F.max("h").alias("h"),
     ]
     for t in range(1, rounds + 1):
-        # shuffle_hash: the cut-leaf state has no size stats; unhinted, the
-        # planner broadcasts the cached edge table every round (serial
-        # |E|-row build) — hinted, only the sketch state shuffles
-        msgs = sym.join(state.hint("shuffle_hash"), sym.dst == state.v).select(
+        # deliberate state-side strategy (superstep_state_side): unhinted,
+        # the stats-free cut leaf makes the planner broadcast the cached
+        # edge table every round (serial |E|-row build)
+        msgs = sym.join(
+            superstep_state_side(state, n_verts), sym.dst == state.v
+        ).select(
             F.col("src").alias("v"),
             *regs,
             F.lit(None).cast("double").alias("e_prev"),

@@ -464,18 +464,16 @@ def betweenness_superstep(
     sym.count()
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
-    # level leaves feed the NEXT depth's fan-out join map-side (the edge
-    # side is broadcast when it fits, so there is no exchange to re-spread
-    # them): left to AQE, the leaf inherits the coalesced partition count
-    # of the aggregate that produced it (optimized for THAT stage's
-    # output size), pinning the widest |frontier| x deg probe of the next
-    # action to a handful of cores (measured: 8-task stages of 84-148s
-    # pure CPU while 24 cores idled).  Each new level is therefore
-    # explicitly hash-repartitioned to the session's shuffle parallelism
-    # — one cheap O(|level|) exchange buys a fully parallel fan-out.
-    n_level_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    # NOTE on level-leaf partitioning: the cut leaves inherit the AQE-
+    # coalesced partition count of the aggregate that produced them, and
+    # the next depth's broadcast-probe fan-out runs map-side over those
+    # partitions (observed 8-task stages of 84-148s pure CPU at sf0.1).
+    # An explicit hash-repartition of every new level to the configured
+    # shuffle parallelism was implemented and A/B'd: statistical TIE at
+    # sf0.1 across 9 interleaved pairs (the extra exchange offsets the
+    # parallelism gain) and -13% at the 3x fixture (2 pairs) — never a
+    # measured win, so it was removed; the observation is recorded here
+    # for the next time this operator is profiled on a real cluster.
 
     # forward: levels[d] = the depth-d frontier (source, v, sigma), each a
     # separate cut_lineage product.  Per-depth checkpoint I/O is the NEW
@@ -520,9 +518,9 @@ def betweenness_superstep(
             visited = visited.union(lv.select("source", "v"))
         cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
         new = cut_lineage(
-            cand.join(visited, ["source", "v"], "left_anti")
-            .select("source", "v", "sigma")
-            .repartition(n_level_parts, "source", "v")
+            cand.join(visited, ["source", "v"], "left_anti").select(
+                "source", "v", "sigma"
+            )
         )
         if new.count() == 0:
             release(new)
@@ -661,9 +659,6 @@ def harmonic_centrality(
     sym.count()
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
-    n_level_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
 
     levels = [
         cut_lineage(src_df.select("source", F.col("source").alias("v")))
@@ -679,14 +674,7 @@ def harmonic_centrality(
         visited = levels[0]
         for lv in levels[1:]:
             visited = visited.union(lv)
-        # repartition: see betweenness_superstep — level leaves drive the
-        # next depth's broadcast-probe fan-out map-side, so they must not
-        # inherit an AQE-coalesced (tiny) partition count
-        new = cut_lineage(
-            msgs.join(visited, ["source", "v"], "left_anti").repartition(
-                n_level_parts, "source", "v"
-            )
-        )
+        new = cut_lineage(msgs.join(visited, ["source", "v"], "left_anti"))
         if new.count() == 0:
             release(new)
             break

@@ -30,6 +30,7 @@ from ..plans.superstep import (
     cut_lineage,
     iterate,
     release,
+    superstep_state_side,
 )
 from .builders import symmetrized, vertices
 
@@ -58,15 +59,15 @@ def connected_components(
         # frontier flag: everything active initially
         state0 = labels.withColumn("active", F.lit(True))
 
+    # NOTE: unlike the cut-leaf-state supersteps (coreness/HITS/ANF/...),
+    # this state is persist()ed, so the planner sees REAL size stats for
+    # the frontier filter and already broadcasts/shuffles it correctly on
+    # its own — a forced strategy hint was A/B'd (1x and 3x fixtures) to
+    # a tie/slight loss and removed.
     def step(state: DataFrame, i: int):
         frontier = state.filter("active").select("v", "component")
-        # shuffle_hash: shuffle the O(frontier) labels against the cached
-        # src-partitioned adjacency instead of a serial driver-built
-        # broadcast per superstep (pagerank's rank-vector discipline —
-        # measured faster above ~100k vertices, and the only shape that
-        # survives a frontier too large to broadcast)
         msgs = (
-            adj.join(frontier.hint("shuffle_hash"), adj.src == frontier.v)
+            adj.join(frontier, adj.src == frontier.v)
             .select(F.col("dst").alias("v"), "component")
         )
         best = msgs.groupBy("v").agg(F.min("component").alias("cand"))
@@ -252,7 +253,8 @@ def connected_components_two_phase(
 
 
 def _bidirectional_min_labels(
-    edges: DataFrame, verts: DataFrame, max_iter: int, cut_every: int = 3
+    edges: DataFrame, verts: DataFrame, max_iter: int, cut_every: int = 3,
+    n_verts: int | None = None,
 ) -> DataFrame:
     """Forward AND backward hash-min label propagation fused into one
     superstep loop: state carries (v, f, b) where f(v) = min id that
@@ -300,11 +302,11 @@ def _bidirectional_min_labels(
     pending: list[DataFrame] = []
     converged = False
     for i in range(max_iter):
-        # shuffle_hash: on cut rounds the state leaf has no size stats and
-        # the planner would broadcast the cached adjacency (serial 2|E|-row
-        # build); hinted, only the O(|V|) label state shuffles
+        # deliberate state-side strategy: on cut rounds the stats-free
+        # leaf would otherwise make the planner broadcast the cached
+        # adjacency (serial 2|E|-row build per round)
         msgs = (
-            adj.join(state.hint("shuffle_hash"), adj.src == state.v)
+            adj.join(superstep_state_side(state, n_verts), adj.src == state.v)
             .filter(
                 (F.col("isf") & F.col("cf")) | (~F.col("isf") & F.col("cb"))
             )
@@ -421,11 +423,16 @@ def strongly_connected_components(
     for _ in range(max_outer):
         # ---- trim to exhaustion: settle acyclic-by-degree singletons ----
         # (``trim=False`` keeps the pure peel for A/B measurement)
+        # One driver job per trim layer: trivial's count materializes its
+        # lazy cut, and the successor remaining/cur cuts stay lazy until
+        # the NEXT layer's count (or the post-loop seal) computes them —
+        # superseded states are release()d only after a materialized
+        # lineage-free successor exists (the engine's deferred-release
+        # discipline), so a layer costs 1 job instead of the old 3.
+        pending_trim: list[DataFrame] = []
         while trim and n_left > 0:
             srcs = cur.select(F.col("src").alias("v")).distinct()
             dsts = cur.select(F.col("dst").alias("v")).distinct()
-            # lazy cut: the count below materializes the checkpoint in the
-            # same job (one driver action per trim layer instead of two)
             trivial = cut_lineage(
                 remaining.join(srcs, "v", "left_anti")
                 .union(remaining.join(dsts, "v", "left_anti"))
@@ -433,24 +440,41 @@ def strongly_connected_components(
                 eager=False,
             )
             k = trivial.count()
+            # trivial is now a materialized leaf: the PREVIOUS layer's lazy
+            # remaining/cur cuts were computed (and checkpointed) by this
+            # same job, so the states they superseded are now unreachable
+            for p in pending_trim:
+                release(p)
+            pending_trim.clear()
             if k == 0:
                 release(trivial)
                 break
             results.append(trivial.select("v", F.col("v").alias("component")))
-            new_remaining = cut_lineage(remaining.join(trivial, "v", "left_anti"))
-            release(remaining)
-            remaining = new_remaining
-            n_left -= k
-            new_cur = cut_lineage(
-                cur.join(trivial.withColumnRenamed("v", "src"), "src", "left_anti")
-                .join(trivial.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            pending_trim += [remaining, cur]
+            remaining = cut_lineage(
+                remaining.join(trivial, "v", "left_anti"), eager=False
             )
-            release(cur)
-            cur = new_cur
+            n_left -= k
+            cur = cut_lineage(
+                cur.join(trivial.withColumnRenamed("v", "src"), "src", "left_anti")
+                .join(trivial.withColumnRenamed("v", "dst"), "dst", "left_anti"),
+                eager=False,
+            )
             # trivial stays live: its blocks back the appended result leg
+        if pending_trim:
+            # loop exited with the newest remaining/cur lazy cuts not yet
+            # computed: force their (checkpointing) materialization before
+            # releasing the predecessors their recompute path would need
+            remaining.count()
+            cur.count()
+            for p in pending_trim:
+                release(p)
+            pending_trim.clear()
         if n_left == 0:
             break
-        labels = _bidirectional_min_labels(cur, remaining, max_iter)
+        labels = _bidirectional_min_labels(
+            cur, remaining, max_iter, n_verts=n_left
+        )
         settled = cut_lineage(
             labels.filter(F.col("f") == F.col("b")).select(
                 "v", F.col("f").alias("component")

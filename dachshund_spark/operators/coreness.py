@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.superstep import cut_lineage, release
+from ..plans.superstep import cut_lineage, release, superstep_state_side
 from .builders import canonical_undirected, symmetrized, vertices
 from .components import connected_components
 
@@ -198,9 +198,11 @@ def coreness(
         )
 
     # density switch state: prev_changed / n_verts decides the per-round
-    # message plan (None on round 1 / after a resume -> dense)
+    # message plan (None on round 1 / after a resume -> dense).  n_verts
+    # is known up front (one metadata-cheap count of the eager state
+    # leaf) so the state-side join strategy is right from round 1.
     prev_changed: int | None = None
-    n_verts: int | None = None
+    n_verts: int | None = state.count()
     for i in range(start_round, max_rounds):
         t0 = _time.time()
         est = state.select("v", "est")
@@ -219,15 +221,13 @@ def coreness(
             # per-round driver floor is stage count, not bytes, at the
             # bench scale).  Vertices with no changed neighbor are
             # filtered after the h aggregate via max(nbchg).
-            # shuffle_hash on the state side: the cut leaf carries no size
-            # stats, so without the hint the planner broadcasts the
-            # (known-size, under-threshold) CACHED EDGE TABLE instead —
-            # a serial |E|-row broadcast build EVERY round.  The hinted
-            # plan shuffles only the O(|V|) state against the cached
-            # src-partitioned edges (pagerank's rank-vector discipline,
-            # pagerank.py:176-180) and is the only shape that survives
-            # |E| past any broadcast threshold.
-            msgs = sym.join(state.hint("shuffle_hash"), sym.src == state.v).select(
+            # deliberate state-side strategy (superstep_state_side): the
+            # stats-free cut leaf otherwise makes the planner broadcast
+            # the CACHED EDGE TABLE when it is under threshold — a serial
+            # |E|-row broadcast build EVERY round.
+            msgs = sym.join(
+                superstep_state_side(state, n_verts), sym.src == state.v
+            ).select(
                 F.col("dst").alias("v"),
                 F.col("est").alias("nb"),
                 "chg",
@@ -263,7 +263,7 @@ def coreness(
             )
             msgs = (
                 sym.join(cand.withColumnRenamed("v", "dst"), "dst", "left_semi")
-                .join(est.hint("shuffle_hash"), sym.src == est.v)
+                .join(superstep_state_side(est, n_verts), sym.src == est.v)
                 .select(F.col("dst").alias("v"), F.col("est").alias("nb"))
             )
             # h-index over compressed (distinct value, count) pairs:
@@ -276,9 +276,9 @@ def coreness(
                 .agg(F.max(F.least(F.col("cum"), F.col("nb"))).alias("h"))
             )
         new_state = (
-            # shuffle_hash: build the (frontier-sized) h side per
-            # partition instead of sort-merging both sides
-            est.join(h.hint("shuffle_hash"), "v", "left")
+            # h has at most n_verts rows: broadcast it when small, else
+            # build it per partition (never sort-merge both sides)
+            est.join(superstep_state_side(h, n_verts), "v", "left")
             .select(
                 "v",
                 F.least(

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import cut_lineage, release
+from ..plans.superstep import cut_lineage, release, superstep_state_side
 
 
 def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
@@ -61,13 +61,13 @@ def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
               from_key: str, to_key: str) -> tuple[DataFrame, float]:
         """One half-step: sum st.s/scale over edges onto ``to_key``;
         returns the new un-normalized leaf and its L1 total."""
-        # shuffle_hash on the state side: the cut-leaf state has no size
-        # stats, so the planner would otherwise broadcast the (known-size,
-        # under-threshold) cached edge table — a serial |E|-row broadcast
-        # build per half-step.  Hinted, only the O(|V|) vector shuffles
-        # against the pre-partitioned edges (pagerank's discipline).
+        # deliberate state-side strategy (superstep_state_side): the
+        # stats-free cut leaf otherwise makes the planner broadcast the
+        # cached edge table — a serial |E|-row build per half-step
         msgs = ev.join(
-            st.select(F.col("v").alias(from_key), "s").hint("shuffle_hash"),
+            superstep_state_side(
+                st.select(F.col("v").alias(from_key), "s"), n
+            ),
             from_key,
         ).select(F.col(to_key).alias("v"), (F.col("s") / F.lit(scale)).alias("m"))
         # lazy cut + leaf-scan aggregate in ONE job (the aggregate

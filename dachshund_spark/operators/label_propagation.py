@@ -37,11 +37,12 @@ def label_propagation(
         "v", F.col("v").alias("label"), F.lit(False).alias("_chg")
     )
 
+    # NOTE: the state here is persist()ed (real size stats), so the
+    # planner already picks the join strategy correctly — a forced hint
+    # was A/B'd to a tie and removed (cf. superstep_state_side, which is
+    # for stats-free cut-leaf states only).
     def step(state: DataFrame, i: int):
-        # shuffle_hash: shuffle the O(|V|) label vector against the cached
-        # src-partitioned adjacency instead of a serial per-round broadcast
-        # build (pagerank's rank-vector discipline)
-        msgs = adj.join(state.hint("shuffle_hash"), adj.src == state.v).select(
+        msgs = adj.join(state, adj.src == state.v).select(
             F.col("dst").alias("v"), "label"
         )
         counts = msgs.groupBy("v", "label").agg(F.count("*").alias("cnt"))

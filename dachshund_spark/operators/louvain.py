@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import cut_lineage, release
+from ..plans.superstep import cut_lineage, release, superstep_state_side
 
 
 def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
@@ -85,7 +85,7 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         F.count("*").alias("deg")
     )
     deg = deg.persist()
-    deg.count()
+    n_verts = deg.count()
     labels = cut_lineage(deg.select("v", F.col("v").alias("c")))
     def _gate(col, rnd):
         # md5-parity move gate (mirrored bit-for-bit in the kernel)
@@ -110,15 +110,14 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         gated_e = dir_e.filter(_gate(F.col("src"), rnd))
         # e(v, C): one map-side-combinable count per (gated vertex,
         # neighbor community)
-        # shuffle_hash on the label side: the cut-leaf label table has no
-        # size stats, so the planner would broadcast the (known-size,
-        # under-threshold) gated edge filter instead — a serial |E|/2-row
-        # broadcast build per round; hinted, only the O(|V|) labels shuffle
-        # against the cached dst-partitioned edges
+        # deliberate label-side strategy (superstep_state_side): the
+        # stats-free cut leaf otherwise makes the planner broadcast the
+        # gated edge filter — a serial |E|/2-row broadcast build per round
         evc = (
             gated_e.join(
-                labels.select(F.col("v").alias("dst"), F.col("c")).hint(
-                    "shuffle_hash"
+                superstep_state_side(
+                    labels.select(F.col("v").alias("dst"), F.col("c")),
+                    n_verts,
                 ),
                 "dst",
             )

@@ -75,6 +75,35 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         return cut
 
 
+def superstep_state_side(
+    state: DataFrame, n_rows: int | None, threshold: int = 100_000
+) -> DataFrame:
+    """Join-strategy hint for the O(|V|)-row state side of a superstep
+    join against a cached, pre-partitioned edge table.
+
+    The lineage-cut state leaf carries no size statistics, so left to the
+    static planner the join either broadcasts the EDGE table (when its
+    known cached size is under the broadcast threshold — a serial
+    |E|-row build every round) or falls to sort-merge.  The operator,
+    unlike the optimizer, KNOWS the state's row count from its own
+    per-round aggregate, so it picks deliberately (guide §3.1/§8):
+
+    * ``n_rows < threshold``: broadcast the state — zero exchanges on
+      either side, the cheapest possible round (this is also what AQE
+      eventually discovers at runtime when nothing is hinted and the
+      edge table is over-threshold, measured on the 3x fixture);
+    * otherwise: ``shuffle_hash`` — only the state shuffles against the
+      cached edges; no per-round broadcast build, no sort, and the only
+      shape that scales to states too large to broadcast (pagerank's
+      rank-vector discipline; its measured crossover, ~100k rows, is the
+      default threshold).
+    * ``n_rows`` unknown (first round): shuffle_hash, the safe side.
+    """
+    if n_rows is not None and n_rows < threshold:
+        return state.hint("broadcast")
+    return state.hint("shuffle_hash")
+
+
 def release(df: DataFrame | None) -> None:
     """Free the storage behind an intermediate state DataFrame: the
     locally-checkpointed RDD blocks for a ``cut_lineage`` product, plus any
