@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 from ..plans.superstep import cut_lineage, iterate
 from .builders import symmetrized, vertices
 
+# Measurement hook (tools/ab_visited_window.py): True restores the old
+# anti-join-against-every-level BFS dedup in betweenness_superstep /
+# harmonic_centrality.  The shipped False path anti-joins against the
+# last TWO level leaves only — result-identical by the BFS distance
+# property (see the comment at the betweenness_superstep dedup site).
+_VISITED_WINDOW_FULL = False
+
 
 def eigenvector_centrality(
     edges: DataFrame, eps: float = 0.001, max_iter: int = 1000
@@ -513,9 +520,25 @@ def betweenness_superstep(
         msgs = frontier.join(sym, frontier.v == sym.src).select(
             "source", F.col("dst").alias("v"), "sigma"
         )
-        visited = levels[0].select("source", "v")
-        for lv in levels[1:]:
-            visited = visited.union(lv.select("source", "v"))
+        # BFS dedup window: a candidate produced by expanding depth d is
+        # adjacent to a distance-d vertex, so its true distance is d-1, d
+        # or d+1 — an already-visited candidate can only live in levels d
+        # or d-1.  Anti-joining against those two leaves is therefore
+        # result-identical to anti-joining against every level (asserted
+        # per pair in tools/ab_visited_window.py) while scanning and
+        # shuffling O(2 levels) instead of O(total visited) per depth —
+        # the old full union re-shuffled the entire accumulated state
+        # (up to |S|x|V| rows) every round.
+        if _VISITED_WINDOW_FULL:
+            visited = levels[0].select("source", "v")
+            for lv in levels[1:]:
+                visited = visited.union(lv.select("source", "v"))
+        else:
+            visited = levels[depth].select("source", "v")
+            if depth > 0:
+                visited = visited.union(
+                    levels[depth - 1].select("source", "v")
+                )
         cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
         new = cut_lineage(
             cand.join(visited, ["source", "v"], "left_anti").select(
@@ -671,9 +694,17 @@ def harmonic_centrality(
             .select("source", F.col("dst").alias("v"))
             .distinct()
         )
-        visited = levels[0]
-        for lv in levels[1:]:
-            visited = visited.union(lv)
+        # last-two-levels dedup window — result-identical to the full
+        # visited union by the BFS distance property (see the comment in
+        # betweenness_superstep; asserted in tools/ab_visited_window.py)
+        if _VISITED_WINDOW_FULL:
+            visited = levels[0]
+            for lv in levels[1:]:
+                visited = visited.union(lv)
+        else:
+            visited = levels[depth]
+            if depth > 0:
+                visited = visited.union(levels[depth - 1])
         new = cut_lineage(msgs.join(visited, ["source", "v"], "left_anti"))
         if new.count() == 0:
             release(new)

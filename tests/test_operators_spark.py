@@ -234,6 +234,40 @@ def test_betweenness_edge_budget_and_superstep_fallback(spark):
     assert deferred == got
 
 
+def test_bfs_visited_window_matches_full_union(spark):
+    # the two-level BFS dedup window (anti-join against levels d and d-1
+    # only) must be bit-identical to the old anti-join against every
+    # level: a candidate produced by expanding depth d has distance in
+    # {d-1, d, d+1}, so already-visited candidates live in exactly those
+    # two leaves
+    from dachshund_spark.operators import centrality as C
+
+    e = B.edges_df(spark, KARATE_CLUB_EDGES)
+    try:
+        C._VISITED_WINDOW_FULL = True
+        bet_full = sorted(
+            (r["v"], r["betweenness"])
+            for r in C.betweenness_superstep(e).collect()
+        )
+        harm_full = sorted(
+            (r["v"], r["harmonic"])
+            for r in C.harmonic_centrality(e).collect()
+        )
+        C._VISITED_WINDOW_FULL = False
+        bet_win = sorted(
+            (r["v"], r["betweenness"])
+            for r in C.betweenness_superstep(e).collect()
+        )
+        harm_win = sorted(
+            (r["v"], r["harmonic"])
+            for r in C.harmonic_centrality(e).collect()
+        )
+    finally:
+        C._VISITED_WINDOW_FULL = False
+    assert bet_win == bet_full
+    assert harm_win == harm_full
+
+
 def test_distributed_weighted_coreness(spark):
     from dachshund_spark.operators.builders import weighted_canonical
     from dachshund_spark.operators.coreness import weighted_coreness
