@@ -41,6 +41,12 @@ from .builders import symmetrized, vertices
 # property (see the comment at the betweenness_superstep dedup site).
 _VISITED_WINDOW_FULL = False
 
+# Measurement hook (tools/ab_bwd_shj.py): shuffle_hash-hint the small
+# build sides of betweenness_superstep's backward-pass joins instead of
+# letting the stat-free cut leaves fall to sort-merge (which sorts the
+# |level d| x degree fan-out rows every depth).
+_BWD_SHUFFLE_HASH = True
+
 
 def eigenvector_centrality(
     edges: DataFrame, eps: float = 0.001, max_iter: int = 1000
@@ -571,10 +577,13 @@ def betweenness_superstep(
             F.col("sigma").alias("sigma_w"),
         )
         if delta_prev is not None:
+            dw_side = delta_prev.select(
+                "source", F.col("v").alias("w"), F.col("delta").alias("dw")
+            )
+            if _BWD_SHUFFLE_HASH:
+                dw_side = dw_side.hint("shuffle_hash")
             succ = succ.join(
-                delta_prev.select(
-                    "source", F.col("v").alias("w"), F.col("delta").alias("dw")
-                ),
+                dw_side,
                 ["source", "w"],
                 "left",
             ).select(
@@ -588,6 +597,12 @@ def betweenness_superstep(
         links = nodes_d.join(sym, nodes_d.v == sym.src).select(
             "source", "v", "sigma", F.col("dst").alias("w")
         )
+        # succ (|level d+1| rows) is the smaller side of the join against
+        # the |level d| x degree fan-out: build it as a per-partition
+        # hash table instead of sort-merging, which sorted the fan-out
+        # rows every depth (stat-free cut leaves otherwise fall to SMJ)
+        if _BWD_SHUFFLE_HASH:
+            succ = succ.hint("shuffle_hash")
         delta_d = cut_lineage(
             links.join(succ, ["source", "w"])
             .groupBy("source", "v")
