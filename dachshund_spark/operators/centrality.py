@@ -47,6 +47,14 @@ _VISITED_WINDOW_FULL = False
 # |level d| x degree fan-out rows every depth).
 _BWD_SHUFFLE_HASH = True
 
+# Measurement hook (tools/ab_lazy_cuts.py): True restores the old
+# eager-cut-then-act two-jobs-per-depth shape in betweenness_superstep /
+# harmonic_centrality.  The shipped False path leaves each per-depth cut
+# lazy so the depth's single action (the frontier count, or the
+# accumulator's eager cut) materializes it in the same job — the SCC trim
+# loop's fold pattern applied here.
+_EAGER_STEP_CUTS = False
+
 
 def eigenvector_centrality(
     edges: DataFrame, eps: float = 0.001, max_iter: int = 1000
@@ -477,6 +485,12 @@ def betweenness_superstep(
     sym.count()
     verts = vertices(sym)
     src_df = _select_sources(spark, verts, sources, max_sources, seed)
+    # Key narrowing long -> int32 (guide "narrower types") was
+    # implemented with a runtime id-bounds guard and REJECTED by
+    # interleaved A/B (1/3 pairs, median 45.9s vs 43.4s at sf0.1,
+    # BENCH/AB_NARROW_KEYS_r07.txt): UnsafeRow aligns fixed-width fields
+    # to 8-byte slots, so int keys save no aggregate-hash or shuffle
+    # bytes here — the bounds probe and per-probe cast were pure cost.
     # NOTE on level-leaf partitioning: the cut leaves inherit the AQE-
     # coalesced partition count of the aggregate that produced them, and
     # the next depth's broadcast-probe fan-out runs map-side over those
@@ -546,10 +560,15 @@ def betweenness_superstep(
                     levels[depth - 1].select("source", "v")
                 )
         cand = msgs.groupBy("source", "v").agg(F.sum("sigma").alias("sigma"))
+        # lazy cut: the count() below materializes the checkpoint in the
+        # same job — one driver job per depth instead of two.  The leaves
+        # this cut reads stay live until the backward pass, so no release
+        # ordering depends on eagerness here.
         new = cut_lineage(
             cand.join(visited, ["source", "v"], "left_anti").select(
                 "source", "v", "sigma"
-            )
+            ),
+            eager=_EAGER_STEP_CUTS,
         )
         if new.count() == 0:
             release(new)
@@ -603,6 +622,12 @@ def betweenness_superstep(
         # rows every depth (stat-free cut leaves otherwise fall to SMJ)
         if _BWD_SHUFFLE_HASH:
             succ = succ.hint("shuffle_hash")
+        # default path: delta_d stays LAZY and the accumulator's eager
+        # cut below materializes it in the same job — one driver job per
+        # backward depth instead of two.  defer_fold keeps the eager cut:
+        # its deps are only folded once at the end, and an unmaterialized
+        # chain of lazy cuts would defeat the lineage truncation the
+        # per-depth checkpoints exist for.
         delta_d = cut_lineage(
             links.join(succ, ["source", "w"])
             .groupBy("source", "v")
@@ -612,17 +637,17 @@ def betweenness_superstep(
                     * F.col("sigma")
                     / F.col("sigma_w")
                 ).alias("delta")
-            )
+            ),
+            eager=defer_fold or _EAGER_STEP_CUTS,
         )
-        if defer_fold and delta_prev is not None:
-            pending_delta.append(delta_prev)  # dep still reads its blocks
-        else:
-            release(delta_prev)
+        prev_delta = delta_prev
         delta_prev = delta_d
         dep = delta_d.filter(F.col("v") != F.col("source")).select(
             "v", F.col("delta").alias("partial")
         )
         if defer_fold:
+            if prev_delta is not None:
+                pending_delta.append(prev_delta)  # dep still reads its blocks
             deps.append(dep)
         else:
             folded = dep if acc is None else acc.union(dep)
@@ -630,6 +655,10 @@ def betweenness_superstep(
                 folded.groupBy("v").agg(F.sum("partial").alias("partial"))
             )
             release(acc)
+            # the eager new_acc cut has materialized delta_d's checkpoint;
+            # only now is the previous delta (which delta_d's recompute
+            # lineage read) safe to free
+            release(prev_delta)
             acc = new_acc
         # levels[d+1] was read for the last time (as succ this round and
         # as delta_prev's base last round) — free its blocks now instead
@@ -720,7 +749,12 @@ def harmonic_centrality(
             visited = levels[depth]
             if depth > 0:
                 visited = visited.union(levels[depth - 1])
-        new = cut_lineage(msgs.join(visited, ["source", "v"], "left_anti"))
+        # lazy cut — the count() materializes it (one job per depth; see
+        # the betweenness_superstep forward loop)
+        new = cut_lineage(
+            msgs.join(visited, ["source", "v"], "left_anti"),
+            eager=_EAGER_STEP_CUTS,
+        )
         if new.count() == 0:
             release(new)
             break
