@@ -84,9 +84,14 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
     deg = dir_e.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("deg")
     )
-    deg = deg.persist()
-    n_verts = deg.count()
-    labels = cut_lineage(deg.select("v", F.col("v").alias("c")))
+    # the static per-vertex degree rides INSIDE the label state (one
+    # extra long per row on a leaf that is rewritten every round anyway):
+    # vol(C) becomes a plain rollup of the state and the winner pick
+    # needs one state join instead of separate deg + current-label joins
+    labels = cut_lineage(
+        deg.select("v", F.col("v").alias("c"), "deg")
+    )
+    n_verts = labels.count()
     def _gate(col, rnd):
         # md5-parity move gate (mirrored bit-for-bit in the kernel)
         return (
@@ -124,27 +129,25 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
             .groupBy(F.col("src").alias("v"), "c")
             .agg(F.count("*").alias("e"))
         )
-        # vol(C): community-sized rollup, broadcast back (needs ALL
-        # vertices' degrees, gated or not)
-        vol = (
-            labels.join(deg, "v")
-            .groupBy("c")
-            .agg(F.sum("deg").alias("vol"))
-        )
+        # vol(C): community-sized rollup straight off the state (deg
+        # rides in the label rows — no join; needs ALL vertices, gated
+        # or not)
+        vol = labels.groupBy("c").agg(F.sum("deg").alias("vol"))
         cur_gated = labels.filter(_gate(F.col("v"), rnd)).select(
-            "v", F.col("c").alias("cur_c")
+            "v", F.col("c").alias("cur_c"), "deg"
         )
         # candidates = neighbor communities UNION the explicit stay row
-        # (e=0 when v has no edge into its own community); max(e) folds
-        # the duplicate stay row when the real e(v, cur_c) exists
-        cands = (
-            evc.unionByName(
-                cur_gated.select(
-                    "v", F.col("cur_c").alias("c"), F.lit(0).alias("e")
-                )
+        # (e=0 when v has no edge into its own community).  No dedupe
+        # aggregate: when the real e(v, cur_c) row exists alongside the
+        # stay row, its key is >= the stay key (they differ by
+        # 2m*e >= 0) with the same community id, so min(struct(-key, c))
+        # picks the identical winner either way — the old
+        # groupBy(v, c).max(e) re-shuffled the whole candidate table
+        # only to fold a duplicate that can never win.
+        cands = evc.unionByName(
+            cur_gated.select(
+                "v", F.col("cur_c").alias("c"), F.lit(0).alias("e")
             )
-            .groupBy("v", "c")
-            .agg(F.max("e").alias("e"))
         )
         key = (
             F.lit(2 * m) * F.col("e")
@@ -153,21 +156,23 @@ def louvain_moves(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         ).cast("long")
         picked = (
             cands.join(F.broadcast(vol), "c")
-            .join(deg, "v")
             .join(cur_gated, "v")
-            .select("v", F.struct((-key).alias("nk"), F.col("c")).alias("cand"))
-            .groupBy("v")
+            .select(
+                "v",
+                F.struct((-key).alias("nk"), F.col("c")).alias("cand"),
+                "deg",
+            )
+            .groupBy("v", "deg")
             .agg(F.min("cand").alias("best"))
         )
         labels_new = cut_lineage(
-            picked.select("v", F.col("best.c").alias("c")).unionByName(
+            picked.select("v", F.col("best.c").alias("c"), "deg").unionByName(
                 labels.filter(~_gate(F.col("v"), rnd))
             )
         )
         release(labels)
         labels = labels_new
     dir_e.unpersist()
-    deg.unpersist()
     release(canon)
     return labels.select("v", F.col("c").alias("community"))
 
