@@ -34,6 +34,12 @@ from ..plans.superstep import (
 )
 from .builders import symmetrized, vertices
 
+# Measurement hook (tools/ab_trim_shape.py): True restores the old
+# two-anti-joins + union + distinct shape for the SCC trim layer's
+# trivial-vertex set; the shipped False path computes the set-identical
+# remaining \ (srcs ∩ dsts) with one semi-join + one anti-join.
+_TRIM_UNION_SHAPE = False
+
 
 def connected_components(
     edges: DataFrame,
@@ -433,12 +439,24 @@ def strongly_connected_components(
         while trim and n_left > 0:
             srcs = cur.select(F.col("src").alias("v")).distinct()
             dsts = cur.select(F.col("dst").alias("v")).distinct()
-            trivial = cut_lineage(
-                remaining.join(srcs, "v", "left_anti")
-                .union(remaining.join(dsts, "v", "left_anti"))
-                .distinct(),
-                eager=False,
-            )
+            if _TRIM_UNION_SHAPE:
+                trivial = cut_lineage(
+                    remaining.join(srcs, "v", "left_anti")
+                    .union(remaining.join(dsts, "v", "left_anti"))
+                    .distinct(),
+                    eager=False,
+                )
+            else:
+                # (remaining \ srcs) ∪ (remaining \ dsts) ==
+                # remaining \ (srcs ∩ dsts): one semi-join (both distinct
+                # outputs are already hash(v)-partitioned, so it adds no
+                # exchange) plus one anti-join replaces two anti-joins +
+                # union + distinct — one fewer pass over `remaining` and
+                # one fewer exchange per trim layer
+                both = srcs.join(dsts, "v", "left_semi")
+                trivial = cut_lineage(
+                    remaining.join(both, "v", "left_anti"), eager=False
+                )
             k = trivial.count()
             # trivial is now a materialized leaf: the PREVIOUS layer's lazy
             # remaining/cur cuts were computed (and checkpointed) by this
