@@ -17,6 +17,19 @@ DEFAULT_CONFIGS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+    # every post-shuffle partition is under 64 MB (default 0 = never).
+    # The iterative engine's states are stats-free lineage-cut leaves,
+    # so the static planner falls to SMJ wherever no explicit hint
+    # applies; this conversion uses ACTUAL runtime sizes, so it is
+    # scale-safe by construction (it simply never fires when partitions
+    # are big) and the 64 MB per-partition local map is bounded memory.
+    # Measured (BENCH/AB_SHJ_THRESHOLD_r07.txt, interleaved cold pairs,
+    # outputs md5-identical): betweenness_superstep 2/2 at -23%,
+    # coreness 2/2 at -8%, k_truss 2/2 at -8%.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     # Arrow for applyInPandas / mapInPandas — vectorized, no per-row Python.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
